@@ -1,0 +1,21 @@
+"""openglue_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework for SuperGlue-style
+sparse keypoint-graph matching.
+
+A ground-up redesign of the capabilities of ucuapps/OpenGlue (reference:
+/root/reference) for TPU hardware:
+
+* static shapes everywhere — keypoint sets are padded to a fixed size and carry
+  validity masks instead of ragged min-stacking;
+* channels-last ``[B, N, D]`` tensor layout (the reference uses conv1d-style
+  ``[B, D, N]``) so matmuls map directly onto the MXU;
+* the attentional GNN, Sinkhorn OT head and positional encoder are pure JAX with
+  optional fused Pallas kernels for the hot paths;
+* scaling is expressed through ``jax.sharding.Mesh`` + ``shard_map``/pjit —
+  data-parallel pair batching plus keypoint-axis context parallelism — instead
+  of torch DDP/NCCL.
+
+Layer map mirrors SURVEY.md §1: cli/ (L0), train/ (L1), models/ (L2),
+features/ (L3), geometry/ + losses (L4), data/ (L5), core.config (L6).
+"""
+
+__version__ = "0.1.0"

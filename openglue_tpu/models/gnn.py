@@ -1,0 +1,189 @@
+"""Attentional GNN over the two keypoint graphs.
+
+Structure mirrors reference models/superglue/attention_gnn.py:8-93:
+``num_stages`` x (self-attention layer, cross-attention layer); each layer is a
+residual message-passing update ``desc + FFN(concat[desc, message])`` where the
+message is multi-head attention with q from the target graph and k=v from the
+source graph. Semantics preserved for parity:
+
+  * each self/cross layer applies ONE weight-shared module to both images
+    (reference attention_gnn.py:63-66);
+  * cross-attention is sequential — image1 attends to the ALREADY-UPDATED
+    image0 descriptors (reference attention_gnn.py:74-77);
+  * optional "offset attention" concat ``[desc - msg, msg]``
+    (reference attention_gnn.py:49-55).
+
+TPU-first differences: channels-last [B, N, D], mask-aware attention and
+masked BatchNorm statistics, FAVOR projections held in a mutable
+``favor_projections`` collection so the train loop redraws them by folding the
+step into the RNG (the reference redraws via a Lightning callback mutating a
+torch buffer, utils/lightning_callbacks.py:10-14).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openglue_tpu.models.layers import FeedForwardNet
+from openglue_tpu.ops import attention as attn_ops
+
+ATTENTION_KINDS = ("softmax", "linear", "favor_relu", "favor_softmax")
+
+
+class MultiheadAttention(nn.Module):
+    """Multi-head attention with pluggable score mechanisms
+    (reference attention_gnn.py:8-32 + attention.py:8-118)."""
+
+    embed_dim: int
+    num_heads: int
+    attention: str = "softmax"
+    favor_num_features: Optional[int] = None  # default 2*head_dim
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query_input: jnp.ndarray,
+        kv_input: jnp.ndarray,
+        kv_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if self.attention not in ATTENTION_KINDS:
+            raise ValueError(
+                f"Attention type {self.attention!r} is not supported; choose from {ATTENTION_KINDS}"
+            )
+        batch, n, _ = query_input.shape
+        m = kv_input.shape[1]
+        head_dim = self.embed_dim // self.num_heads
+
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+        # [B, N, D] -> [B, H, N, Dh]; channel c maps to head c // Dh, matching
+        # the reference's view(B, H, Dh, N) channel grouping for weight import.
+        def split_heads(x, length):
+            return x.reshape(batch, length, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = split_heads(dense("q_proj")(query_input), n)
+        k = split_heads(dense("k_proj")(kv_input), m)
+        v = split_heads(dense("v_proj")(kv_input), m)
+
+        if self.attention == "softmax":
+            if self.use_pallas:
+                from openglue_tpu.ops.pallas import attention_kernel
+
+                out = attention_kernel.masked_softmax_attention(q, k, v, kv_mask)
+            else:
+                out, _ = attn_ops.softmax_attention(q, k, v, kv_mask)
+        elif self.attention == "linear":
+            out, _ = attn_ops.linear_attention_elu(q, k, v, kv_mask)
+        else:
+            num_features = self.favor_num_features or 2 * head_dim
+            projection = self.variable(
+                "favor_projections",
+                "projection",
+                lambda: attn_ops.sample_orthogonal_random_matrix(
+                    self.make_rng("params") if self.is_initializing() else jax.random.key(0),
+                    num_features,
+                    head_dim,
+                ),
+            )
+            proj = projection.value.astype(q.dtype)
+            if self.attention == "favor_relu":
+                q_feat = attn_ops.favor_features_relu(q, proj)
+                k_feat = attn_ops.favor_features_relu(k, proj)
+            else:  # favor_softmax
+                q_feat = attn_ops.favor_features_softmax(q, proj, is_query=True)
+                k_feat = attn_ops.favor_features_softmax(k, proj, is_query=False, kv_mask=kv_mask)
+            out, _ = attn_ops.linear_attention(q_feat, k_feat, v, kv_mask)
+
+        out = out.transpose(0, 2, 1, 3).reshape(batch, n, self.embed_dim)
+        return dense("out_proj")(out)
+
+
+class AttentionalPropagation(nn.Module):
+    """Residual attention message propagation
+    (reference attention_gnn.py:36-56)."""
+
+    embed_dim: int
+    num_heads: int
+    attention: str = "softmax"
+    use_offset: bool = False
+    favor_num_features: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        desc_q: jnp.ndarray,
+        desc_kv: jnp.ndarray,
+        q_mask: Optional[jnp.ndarray] = None,
+        kv_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        message = MultiheadAttention(
+            self.embed_dim,
+            self.num_heads,
+            self.attention,
+            self.favor_num_features,
+            self.dtype,
+            self.use_pallas,
+            name="mha",
+        )(desc_q, desc_kv, kv_mask)
+        if self.use_offset:
+            message = jnp.concatenate([desc_q - message, message], axis=-1)
+        else:
+            message = jnp.concatenate([desc_q, message], axis=-1)
+        update = FeedForwardNet(
+            (2 * self.embed_dim, self.embed_dim), dtype=self.dtype, name="ffn"
+        )(message, mask=q_mask, train=train)
+        return desc_q + update
+
+
+class AttentionGNN(nn.Module):
+    """num_stages x (self + cross) attention over both keypoint graphs
+    (reference attention_gnn.py:59-93)."""
+
+    num_stages: int
+    embed_dim: int
+    num_heads: int
+    attention: str = "softmax"
+    use_offset: bool = False
+    favor_num_features: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        desc0: jnp.ndarray,
+        desc1: jnp.ndarray,
+        mask0: Optional[jnp.ndarray] = None,
+        mask1: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kwargs = dict(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            attention=self.attention,
+            use_offset=self.use_offset,
+            favor_num_features=self.favor_num_features,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )
+        for stage in range(self.num_stages):
+            # One module applied to both images => shared weights (reference
+            # attention_gnn.py:63-66).
+            self_layer = AttentionalPropagation(**kwargs, name=f"self_{stage}")
+            desc0 = self_layer(desc0, desc0, mask0, mask0, train)
+            desc1 = self_layer(desc1, desc1, mask1, mask1, train)
+
+            # Sequential cross attention: image1 sees updated desc0 (reference
+            # attention_gnn.py:74-77).
+            cross_layer = AttentionalPropagation(**kwargs, name=f"cross_{stage}")
+            desc0 = cross_layer(desc0, desc1, mask0, mask1, train)
+            desc1 = cross_layer(desc1, desc0, mask1, mask0, train)
+        return desc0, desc1

@@ -1,0 +1,185 @@
+"""The SuperGlue matcher head (reference models/superglue/superglue.py:11-111).
+
+Pipeline: normalize keypoints to [-1, 1] -> MLP positional encoding added to
+local descriptors -> attentional GNN -> linear projection (+ optional residual
+mix with learned per-channel sigmoid gate) -> scaled dot-product score matrix
+-> dustbin-augmented log-domain Sinkhorn -> log-assignment scores.
+
+TPU-first: channels-last [B, N, D]; static shapes with validity masks; the
+Sinkhorn head optionally runs as a fused Pallas kernel. With masks=None and
+float32 the forward is numerically parity-comparable to the torch reference
+(weights imported via openglue_tpu.compat.torch_weights).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openglue_tpu.models.gnn import AttentionGNN
+from openglue_tpu.models.positional_encoding import MLPPositionalEncoding
+from openglue_tpu.ops.sinkhorn import log_optimal_transport
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperGlueConfig:
+    """Static configuration (reference config/config.yaml:42-55 schema)."""
+
+    descriptor_dim: int = 256
+    # positional encoding
+    pe_hidden_layers_sizes: Sequence[int] = (32, 64, 128)
+    pe_encoder_name: str = "FeedForwardNet"
+    side_info_size: int = 1
+    # attention gnn
+    num_stages: int = 9
+    num_heads: int = 4
+    attention: str = "softmax"
+    use_offset: bool = False
+    favor_num_features: Optional[int] = None
+    # matching head
+    dustbin_score_init: float = 1.0
+    otp_num_iters: int = 20
+    otp_reg: float = 1.0
+    residual: bool = True
+    no_descriptors: bool = False
+    # implementation switches
+    dtype: Any = None  # computation dtype; None = float32
+    use_pallas: bool = False
+
+    @classmethod
+    def from_dict(cls, cfg: Mapping[str, Any]) -> "SuperGlueConfig":
+        """Build from a reference-schema config dict (config/config.yaml:42-55)."""
+        pe = cfg.get("positional_encoding", {})
+        gnn = cfg.get("attention_gnn", {})
+        otp = cfg.get("otp", {})
+        return cls(
+            descriptor_dim=cfg["descriptor_dim"],
+            pe_hidden_layers_sizes=tuple(pe.get("hidden_layers_sizes", ()) or ()),
+            pe_encoder_name=pe.get("encoder_name", "FeedForwardNet"),
+            side_info_size=pe.get("side_info_size", 1),
+            num_stages=gnn.get("num_stages", 9),
+            num_heads=gnn.get("num_heads", 4),
+            attention=gnn.get("attention", "softmax"),
+            use_offset=gnn.get("use_offset", False),
+            favor_num_features=gnn.get("favor_num_features"),
+            dustbin_score_init=cfg.get("dustbin_score_init", 1.0),
+            otp_num_iters=otp.get("num_iters", 20),
+            otp_reg=otp.get("reg", 1.0),
+            residual=cfg.get("residual", False),
+            no_descriptors=cfg.get("no_descriptors", False),
+            dtype=cfg.get("dtype"),
+            use_pallas=cfg.get("use_pallas", False),
+        )
+
+
+def normalize_keypoints(kpts: jnp.ndarray, image_size: jnp.ndarray) -> jnp.ndarray:
+    """Map pixel coordinates to [-1, 1] (reference superglue.py:74-78).
+
+    kpts: [B, N, 2] (x, y); image_size: [2] or [B, 2] as (width, height).
+    """
+    image_size = jnp.asarray(image_size, dtype=kpts.dtype)
+    if image_size.ndim == 1:
+        wh = image_size[None, None, :]
+    else:
+        wh = image_size[:, None, :]
+    return 2.0 * kpts / (wh - 1.0) - 1.0
+
+
+class SuperGlue(nn.Module):
+    """The matcher (reference superglue.py:11-72)."""
+
+    config: SuperGlueConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        kpts0: jnp.ndarray,
+        kpts1: jnp.ndarray,
+        desc0: jnp.ndarray,
+        desc1: jnp.ndarray,
+        side_info0: jnp.ndarray,
+        side_info1: jnp.ndarray,
+        image_size0: jnp.ndarray,
+        image_size1: jnp.ndarray,
+        mask0: Optional[jnp.ndarray] = None,
+        mask1: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        dtype = cfg.dtype
+
+        kpts0 = normalize_keypoints(kpts0, image_size0)
+        kpts1 = normalize_keypoints(kpts1, image_size1)
+
+        pe = MLPPositionalEncoding(
+            output_size=cfg.descriptor_dim,
+            hidden_layers_sizes=tuple(cfg.pe_hidden_layers_sizes),
+            encoder_name=cfg.pe_encoder_name,
+            dtype=dtype,
+            name="positional_encoding",
+        )
+        pe0 = pe(kpts0, side_info0, mask=mask0, train=train)
+        pe1 = pe(kpts1, side_info1, mask=mask1, train=train)
+
+        gnn = AttentionGNN(
+            num_stages=cfg.num_stages,
+            embed_dim=cfg.descriptor_dim,
+            num_heads=cfg.num_heads,
+            attention=cfg.attention,
+            use_offset=cfg.use_offset,
+            favor_num_features=cfg.favor_num_features,
+            dtype=dtype,
+            use_pallas=cfg.use_pallas,
+            name="attention_gnn",
+        )
+        if cfg.no_descriptors:
+            gdesc0, gdesc1 = gnn(pe0, pe1, mask0, mask1, train)
+        else:
+            gdesc0, gdesc1 = gnn(desc0 + pe0, desc1 + pe1, mask0, mask1, train)
+
+        linear_proj = nn.Dense(cfg.descriptor_dim, dtype=dtype, name="linear_proj")
+        gdesc0, gdesc1 = linear_proj(gdesc0), linear_proj(gdesc1)
+
+        if cfg.residual:
+            mix_coefs = self.param(
+                "mix_coefs", nn.initializers.zeros, (cfg.descriptor_dim,)
+            )
+            alpha = nn.sigmoid(mix_coefs)
+            gdesc0 = alpha * gdesc0 + (1.0 - alpha) * desc0
+            gdesc1 = alpha * gdesc1 + (1.0 - alpha) * desc1
+
+        # Score matrix S = gdesc0 @ gdesc1^T / sqrt(D) (reference superglue.py:64,80-86)
+        S = jnp.einsum("bnd,bmd->bnm", gdesc0, gdesc1) * cfg.descriptor_dim**-0.5
+
+        dustbin = self.param(
+            "dustbin_score",
+            lambda _key: jnp.asarray(cfg.dustbin_score_init, jnp.float32),
+        )
+        if cfg.use_pallas:
+            from openglue_tpu.ops.pallas import sinkhorn_kernel
+
+            log_P = sinkhorn_kernel.log_optimal_transport(
+                S.astype(jnp.float32),
+                dustbin,
+                num_iters=cfg.otp_num_iters,
+                reg=cfg.otp_reg,
+                mask0=mask0,
+                mask1=mask1,
+            )
+        else:
+            log_P = log_optimal_transport(
+                S.astype(jnp.float32),
+                dustbin,
+                num_iters=cfg.otp_num_iters,
+                reg=cfg.otp_reg,
+                mask0=mask0,
+                mask1=mask1,
+            )
+        return {
+            "context_descriptors0": gdesc0,
+            "context_descriptors1": gdesc1,
+            "scores": log_P,
+        }
