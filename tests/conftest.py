@@ -18,3 +18,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# jax 0.9 DEFAULT matmul precision is bf16-class even on CPU; parity tests
+# need exact f32 contractions.
+jax.config.update("jax_default_matmul_precision", "highest")
