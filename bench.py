@@ -1,0 +1,121 @@
+"""Headline benchmark: image pairs matched per second per chip.
+
+Runs the flagship matcher (reference scale: D=256, 9 GNN stages, 4 heads,
+Sinkhorn 20 iterations, 1024 keypoints/image — reference
+config/config.yaml:42-55, config/config_cached.yaml:8) in inference mode and
+prints ONE JSON line.
+
+Methodology: the per-call dispatch to the TPU behind the axon tunnel costs
+~40 ms and block_until_ready does not actually synchronize, so the matching
+loop runs device-side inside a single jit (lax.scan over pre-generated
+batches) and is timed by fetching a scalar; fixed dispatch overhead is removed
+by differencing two iteration counts.
+
+The reference repo publishes no benchmark numbers (BASELINE.md), so
+``vs_baseline`` is 1.0 by definition until a measured torch baseline exists.
+
+Usage: python bench.py [--batch 16] [--kpts 1024] [--f32] [--pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--kpts", type=int, default=1024)
+    parser.add_argument("--iters-low", type=int, default=4)
+    parser.add_argument("--iters-high", type=int, default=16)
+    parser.add_argument("--f32", action="store_true", help="float32 compute (default bf16)")
+    parser.add_argument("--pallas", action="store_true", help="use Pallas kernels")
+    parser.add_argument("--attention", default="softmax")
+    args = parser.parse_args()
+
+    from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+    from openglue_tpu.models.matching import decode_matches
+    from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+    from openglue_tpu.train.step import superglue_inputs
+
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    cfg = SuperGlueConfig(
+        descriptor_dim=256,
+        pe_hidden_layers_sizes=(32, 64, 128),
+        side_info_size=1,
+        num_stages=9,
+        num_heads=4,
+        attention=args.attention,
+        otp_num_iters=20,
+        residual=True,
+        dtype=dtype,
+        use_pallas=args.pallas,
+    )
+    model = SuperGlue(cfg)
+    gen = SyntheticHomographyPairs(num_keypoints=args.kpts, descriptor_dim=256)
+    batch = gen.sample(jax.random.key(0), args.batch)
+    variables = model.init(jax.random.key(1), **superglue_inputs(batch, train=False))
+
+    def match_once(variables, batch):
+        out = model.apply(variables, **superglue_inputs(batch, train=False))
+        matches = decode_matches(
+            out["scores"], mask0=batch.side0.mask, mask1=batch.side1.mask
+        )["matches0"]
+        return jnp.sum(matches)
+
+    @jax.jit
+    def loop(variables, batch, rngs):
+        # Each iteration perturbs descriptors from a fresh key so no two
+        # iterations are identical, then matches; serialized via the carry.
+        def body(acc, rng):
+            noise = 1e-3 * jax.random.normal(
+                rng, batch.side0.descriptors.shape, batch.side0.descriptors.dtype
+            )
+            b = batch.replace(
+                side0=batch.side0.replace(descriptors=batch.side0.descriptors + noise)
+            )
+            return acc + match_once(variables, b), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), rngs)
+        return acc
+
+    def timed(n_iters: int) -> float:
+        rngs = jax.random.split(jax.random.key(42), n_iters)
+        float(loop(variables, batch, rngs))  # compile + warm
+        start = time.perf_counter()
+        float(loop(variables, batch, rngs))
+        return time.perf_counter() - start
+
+    t_low = timed(args.iters_low)
+    t_high = timed(args.iters_high)
+    per_iter = (t_high - t_low) / (args.iters_high - args.iters_low)
+    pairs_per_sec = args.batch / per_iter
+
+    print(
+        json.dumps(
+            {
+                "metric": "image_pairs_matched_per_sec_per_chip",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s",
+                "vs_baseline": 1.0,
+                "detail": {
+                    "device": str(jax.devices()[0]),
+                    "batch": args.batch,
+                    "kpts": args.kpts,
+                    "dtype": "float32" if args.f32 else "bfloat16",
+                    "attention": args.attention,
+                    "pallas": bool(args.pallas),
+                    "ms_per_batch": round(1000 * per_iter, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
