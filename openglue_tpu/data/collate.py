@@ -1,0 +1,128 @@
+"""Fixed-size batching of cached-feature samples into PairBatch arrays
+(reference MegaDepthPairsDataModuleFeatures.stack_keypoints_batch,
+data/megadepth_datamodule.py:104-168).
+
+Semantics preserved: oversized keypoint sets are subsampled randomly (train)
+or by top score (val); undersized are zero-padded with depth=0 virtual
+keypoints (auto-IGNOREd by GT generation); per-keypoint depth is gathered at
+the integer keypoint pixel. TPU addition: an explicit validity mask rides
+along so padding can also be excluded from attention/Sinkhorn/BatchNorm.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from openglue_tpu.core.types import KeypointSet, PairBatch, Transformation
+from openglue_tpu.features.lafs import LAFConverter
+
+
+def _select_keypoints(
+    lafs: np.ndarray,
+    scores: np.ndarray,
+    descriptors: np.ndarray,
+    depth_map: np.ndarray,
+    target: int,
+    random: bool,
+    rng: np.random.Generator,
+):
+    """Returns fixed-size (lafs, scores, descriptors, kpt_depth, mask)."""
+    n = lafs.shape[0]
+    d = descriptors.shape[1] if descriptors.ndim == 2 else 0
+    out_lafs = np.zeros((target, 2, 3), np.float32)
+    out_scores = np.zeros((target,), np.float32)
+    out_desc = np.zeros((target, d), np.float32)
+    out_depth = np.zeros((target,), np.float32)
+    out_mask = np.zeros((target,), bool)
+
+    if n > target:
+        idx = rng.permutation(n)[:target] if random else np.argsort(-scores)[:target]
+        lafs, scores, descriptors = lafs[idx], scores[idx], descriptors[idx]
+        n = target
+    out_lafs[:n] = lafs
+    out_scores[:n] = scores
+    out_desc[:n] = descriptors
+    out_mask[:n] = True
+    if n:
+        ys = np.clip(lafs[:, 1, 2].astype(np.int64), 0, depth_map.shape[0] - 1)
+        xs = np.clip(lafs[:, 0, 2].astype(np.int64), 0, depth_map.shape[1] - 1)
+        out_depth[:n] = depth_map[ys, xs]
+    return out_lafs, out_scores, out_desc, out_depth, out_mask
+
+
+def stack_keypoints_batch(
+    samples: Sequence[Dict],
+    target_num_keypoints: int,
+    random: bool = False,
+    laf_converter: Optional[LAFConverter] = None,
+    log_response: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> PairBatch:
+    """Collate cached-feature sample dicts into a PairBatch of numpy arrays.
+
+    side_info is built host-side (response + LAF-converter features,
+    reference models/features/utils.py:54-65) so the device step is pure
+    matcher compute.
+    """
+    rng = rng or np.random.default_rng()
+    laf_converter = laf_converter or LAFConverter()
+    batch = len(samples)
+
+    sides = []
+    depths = {0: [], 1: []}
+    for image_id in (0, 1):
+        all_lafs, all_scores, all_desc, all_mask = [], [], [], []
+        for s in samples:
+            lafs, scores, desc, depth, mask = _select_keypoints(
+                s[f"lafs{image_id}"],
+                s[f"scores{image_id}"],
+                s[f"descriptors{image_id}"],
+                s["transformation"][f"depth{image_id}"],
+                target_num_keypoints,
+                random,
+                rng,
+            )
+            all_lafs.append(lafs)
+            all_scores.append(scores)
+            all_desc.append(desc)
+            all_mask.append(mask)
+            depths[image_id].append(depth)
+        lafs = np.stack(all_lafs)
+        scores = np.stack(all_scores)
+        desc = np.stack(all_desc)
+        mask = np.stack(all_mask)
+
+        import jax.numpy as jnp
+
+        kpts = lafs[:, :, :, 2]  # LAF translation column = keypoint xy
+        resp = scores[..., None]
+        if log_response:
+            resp = np.log(resp + 0.1)
+        side_info = np.concatenate(
+            [resp, np.asarray(laf_converter(jnp.asarray(lafs)))], axis=-1
+        ).astype(np.float32)
+        image_size = np.tile(
+            np.asarray(samples[0][f"image{image_id}_size"], np.float32), (batch, 1)
+        )
+        sides.append(
+            KeypointSet(
+                keypoints=kpts.astype(np.float32),
+                descriptors=desc,
+                side_info=side_info,
+                mask=mask,
+                image_size=image_size,
+            )
+        )
+
+    tf = Transformation(
+        kind="3d_reprojection",
+        K0=np.stack([s["transformation"]["K0"] for s in samples]).astype(np.float32),
+        K1=np.stack([s["transformation"]["K1"] for s in samples]).astype(np.float32),
+        R=np.stack([s["transformation"]["R"] for s in samples]).astype(np.float32),
+        T=np.stack([s["transformation"]["T"] for s in samples]).astype(np.float32),
+        depth0=np.stack(depths[0]),
+        depth1=np.stack(depths[1]),
+    )
+    return PairBatch(side0=sides[0], side1=sides[1], transformation=tf)

@@ -1,0 +1,125 @@
+"""Minimal batching loader with background prefetch.
+
+Replaces torch DataLoader (reference megadepth_datamodule.py:39-55): worker
+threads pull dataset samples (h5/jpg IO releases the GIL in h5py/cv2), a
+collate function packs fixed-shape numpy batches, and a bounded queue keeps
+``prefetch`` batches ready so the accelerator never waits on host IO.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional, Sequence
+
+_SENTINEL = object()
+
+
+class DataLoader:
+    """Iterate (dataset, sampler) -> collated batches with prefetching.
+
+    sampler yields dataset indices (finite or infinite); num_batches bounds
+    iteration when the sampler is infinite.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_fn: Callable,
+        sampler: Optional[Iterable[int]] = None,
+        num_workers: int = 2,
+        prefetch: int = 4,
+        num_batches: Optional[int] = None,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.sampler = sampler
+        self.num_workers = max(0, num_workers)
+        self.prefetch = prefetch
+        self.num_batches = num_batches
+        self.drop_last = drop_last
+
+    def _index_batches(self) -> Iterator[Sequence[int]]:
+        indices = iter(self.sampler) if self.sampler is not None else iter(range(len(self.dataset)))
+        batches = []
+        batch = []
+        for idx in indices:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __iter__(self) -> Iterator:
+        batches = self._index_batches()
+        if self.num_batches is not None:
+            batches = itertools.islice(batches, self.num_batches)
+
+        if self.num_workers == 0:
+            for idx_batch in batches:
+                yield self.collate_fn([self.dataset[i] for i in idx_batch])
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        idx_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * 2)
+        stop = threading.Event()
+
+        # Order-preserving: one dispatcher assigns sequence numbers; a single
+        # reorder buffer emits in order.
+        results = {}
+        results_lock = threading.Lock()
+        results_cv = threading.Condition(results_lock)
+
+        def feeder():
+            for seq, idx_batch in enumerate(batches):
+                if stop.is_set():
+                    break
+                idx_q.put((seq, idx_batch))
+            for _ in range(self.num_workers):
+                idx_q.put(_SENTINEL)
+
+        def worker():
+            while not stop.is_set():
+                item = idx_q.get()
+                if item is _SENTINEL:
+                    with results_cv:
+                        results[-1] = results.get(-1, 0) + 1  # worker-done count
+                        results_cv.notify_all()
+                    return
+                seq, idx_batch = item
+                try:
+                    batch = self.collate_fn([self.dataset[i] for i in idx_batch])
+                except Exception as exc:  # propagate to consumer
+                    batch = exc
+                with results_cv:
+                    results[seq] = batch
+                    results_cv.notify_all()
+
+        threads = [threading.Thread(target=feeder, daemon=True)]
+        threads += [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            seq = 0
+            while True:
+                with results_cv:
+                    while seq not in results and results.get(-1, 0) < self.num_workers:
+                        results_cv.wait(timeout=0.1)
+                    if seq in results:
+                        batch = results.pop(seq)
+                    elif results.get(-1, 0) >= self.num_workers:
+                        return
+                    else:
+                        continue
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+                seq += 1
+        finally:
+            stop.set()

@@ -1,0 +1,182 @@
+"""Evaluation metrics (reference utils/metrics.py).
+
+* ``EpipolarDistanceMetric`` — precision & matching score at a symmetric
+  epipolar-distance threshold (reference AccuracyUsingEpipolarDist,
+  utils/metrics.py:10-52). The per-pair distances are computed device-side in
+  one jitted call; only scalar counts are accumulated on host.
+* ``CameraPoseAUC`` — RANSAC essential-matrix pose recovery + pose-error AUC
+  (reference utils/metrics.py:55-141). OpenCV RANSAC is host-only by nature;
+  the design keeps it off the training step's critical path (eval callback).
+
+Both are plain accumulate/compute objects; in multi-host runs the states are
+summed/gathered with jax.experimental.multihost_utils before ``compute``
+(replaces torchmetrics dist_sync, reference metrics.py:12-15).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openglue_tpu.geometry.epipolar import essential_from_Rt, symmetrical_epipolar_distance
+from openglue_tpu.geometry.transforms import normalize_with_intrinsics
+
+
+@jax.jit
+def _epipolar_counts(
+    kpts0, kpts1, matches0, K0, K1, R, T, threshold: float = 5e-4
+):
+    """Device-side counting for one batch: returns (correct, matched, detected)
+    per element. matches0: [B, N] index into kpts1 or -1."""
+    valid = matches0 >= 0
+    cols = jnp.clip(matches0, 0, kpts1.shape[1] - 1)
+    mkpts1 = jnp.take_along_axis(kpts1, cols[..., None], axis=1)
+
+    pts0 = normalize_with_intrinsics(kpts0, K0)
+    pts1 = normalize_with_intrinsics(mkpts1, K1)
+    E = essential_from_Rt(R, T)
+    dist = symmetrical_epipolar_distance(pts0, pts1, E)
+
+    correct = jnp.sum((dist < threshold) & valid, axis=1)
+    matched = jnp.sum(valid, axis=1)
+    return correct, matched
+
+
+class EpipolarDistanceMetric:
+    """Precision = correct/matched; Matching Score = correct/detected
+    (reference utils/metrics.py:44-52)."""
+
+    def __init__(self, threshold: float = 5e-4):
+        self.threshold = threshold
+        self.reset()
+
+    def reset(self) -> None:
+        self.precisions: List[float] = []
+        self.matching_scores: List[float] = []
+
+    def update(self, kpts0, kpts1, matches0, K0, K1, R, T, num_detected=None) -> None:
+        """All arrays device or numpy; num_detected: [B] valid keypoint counts
+        of image0 (defaults to N)."""
+        correct, matched = _epipolar_counts(
+            kpts0, kpts1, matches0, K0, K1, R, T, self.threshold
+        )
+        correct = np.asarray(correct)
+        matched = np.asarray(matched)
+        if num_detected is None:
+            num_detected = np.full(correct.shape, kpts0.shape[1])
+        else:
+            num_detected = np.asarray(num_detected)
+        self.precisions.extend(
+            (correct / np.maximum(matched, 1)).tolist()
+        )
+        self.matching_scores.extend(
+            (correct / np.maximum(num_detected, 1)).tolist()
+        )
+
+    def compute(self) -> Dict[str, float]:
+        return {
+            f"Precision@{self.threshold}": float(np.mean(self.precisions or [0.0])),
+            f"Matching Score@{self.threshold}": float(np.mean(self.matching_scores or [0.0])),
+        }
+
+
+def rotation_angle_deg(R_est: np.ndarray, R_gt: np.ndarray) -> float:
+    cos = (np.trace(R_est.T @ R_gt) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+
+
+def translation_angle_deg(t_est: np.ndarray, t_gt: np.ndarray, eps=1e-10) -> float:
+    t_est = t_est.reshape(-1) / max(np.linalg.norm(t_est), eps)
+    t_gt = t_gt.reshape(-1) / max(np.linalg.norm(t_gt), eps)
+    cos = abs(float(t_est @ t_gt))  # translation sign is unobservable from E
+    return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+
+
+class CameraPoseAUC:
+    """RANSAC pose AUC@{5,10,20}° (reference utils/metrics.py:55-141).
+
+    Per pair: normalized matched keypoints -> cv2.findEssentialMat(RANSAC,
+    prob .99999, threshold scaled by mean focal length) -> recoverPose
+    (cheirality-best solution; replaces the reference's per-3-row kornia
+    decomposition loop, metrics.py:101-117) -> pose error =
+    max(∠R, ∠T) -> AUC via trapezoid on the sorted error-recall curve.
+    """
+
+    def __init__(self, auc_thresholds=(5.0, 10.0, 20.0), ransac_thresh_px: float = 0.5):
+        self.auc_thresholds = tuple(auc_thresholds)
+        self.ransac_thresh_px = ransac_thresh_px
+        self.reset()
+
+    def reset(self) -> None:
+        self.pose_errors: List[float] = []
+
+    def update(self, kpts0, kpts1, matches0, K0, K1, R, T) -> None:
+        import cv2
+
+        kpts0 = np.asarray(kpts0)
+        kpts1 = np.asarray(kpts1)
+        matches0 = np.asarray(matches0)
+        K0 = np.asarray(K0)
+        K1 = np.asarray(K1)
+        R = np.asarray(R)
+        T = np.asarray(T)
+
+        for b in range(kpts0.shape[0]):
+            valid = matches0[b] >= 0
+            if valid.sum() < 5:
+                self.pose_errors.append(180.0)
+                continue
+            pts0 = kpts0[b][valid]
+            pts1 = kpts1[b][matches0[b][valid]]
+            # normalize to calibrated coords (reference metrics.py:87-90)
+            pts0n = (pts0 - K0[b][:2, 2]) / np.array([K0[b][0, 0], K0[b][1, 1]])
+            pts1n = (pts1 - K1[b][:2, 2]) / np.array([K1[b][0, 0], K1[b][1, 1]])
+            # RANSAC threshold in normalized units: px / mean focal
+            # (reference metrics.py:93-94)
+            mean_focal = np.mean([K0[b][0, 0], K0[b][1, 1], K1[b][0, 0], K1[b][1, 1]])
+            thresh = self.ransac_thresh_px / mean_focal
+            E, inlier_mask = cv2.findEssentialMat(
+                pts0n.astype(np.float64),
+                pts1n.astype(np.float64),
+                np.eye(3),
+                method=cv2.RANSAC,
+                prob=0.99999,
+                threshold=thresh,
+            )
+            if E is None:
+                self.pose_errors.append(180.0)
+                continue
+            best = None
+            for i in range(0, E.shape[0], 3):
+                _, R_est, t_est, _ = cv2.recoverPose(
+                    E[i : i + 3],
+                    pts0n.astype(np.float64),
+                    pts1n.astype(np.float64),
+                    np.eye(3),
+                    mask=inlier_mask.copy() if inlier_mask is not None else None,
+                )
+                err = max(
+                    rotation_angle_deg(R_est, R[b]),
+                    translation_angle_deg(t_est, T[b]),
+                )
+                best = err if best is None else min(best, err)
+            self.pose_errors.append(best if best is not None else 180.0)
+
+    def compute(self) -> Dict[str, float]:
+        """Trapezoid AUC on the error-recall curve (reference metrics.py:125-141)."""
+        errors = np.sort(np.asarray(self.pose_errors, dtype=np.float64))
+        n = len(errors)
+        out = {}
+        for thr in self.auc_thresholds:
+            if n == 0:
+                out[f"AUC@{int(thr)}deg"] = 0.0
+                continue
+            recall = (np.arange(n) + 1) / n
+            e = np.concatenate([[0.0], errors, [thr]])
+            r = np.concatenate([[0.0], recall, [recall[-1]]])
+            keep = e <= thr
+            out[f"AUC@{int(thr)}deg"] = float(np.trapezoid(r[keep], e[keep]) / thr)
+        return out

@@ -1,0 +1,212 @@
+"""Fused log-domain Sinkhorn as a Pallas TPU kernel.
+
+The XLA version (openglue_tpu.ops.sinkhorn) materializes ``M + v`` / ``M + u``
+in HBM on every one of the 20 iterations — ~40 full passes over the
+[B, N+1, M+1] score matrix (reference hot loop, optimal_transport.py:24-26).
+This kernel keeps the matrix and both potentials in VMEM for the whole
+iteration: one HBM read of S, one write of log_P, everything else on-chip.
+
+Numerics match ops.sinkhorn.log_optimal_transport (same update order, f32).
+Shapes are padded to TPU tiles with -1e9 so the logsumexp over padded lanes is
+exact; the dustbin row/column marginals and the mask semantics are identical
+to the XLA path.
+
+VMEM budget: the padded matrix must fit twice (in + out) plus scratch; for
+N = M = 1024 that is ~9.6 MB — fine on one v5e/v5p core. Larger graphs
+(N = 2048 eval) fall back to the XLA path automatically via ``fits_vmem``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openglue_tpu.ops import sinkhorn as sinkhorn_ref
+
+_NEG_INF = -1e9
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # ~16 MB/core minus headroom
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fits_vmem(num_rows: int, num_cols: int) -> bool:
+    # The score block is double-buffered across grid steps; potentials are tiny.
+    rp = _round_up(num_rows, 8)
+    cp = _round_up(num_cols, 128)
+    return 2 * rp * cp * 4 + 8 * (rp + cp) * 4 < _VMEM_BUDGET_BYTES
+
+
+def _sinkhorn_kernel(s_ref, log_a_ref, log_b_ref, u_ref, v_ref, *, num_iters: int):
+    """One batch element per grid step. s_ref: [1, Rp, Cp] (already /reg,
+    padded with -1e9); log_a_ref: [1, Rp, 1]; log_b_ref: [1, 1, Cp].
+
+    Outputs only the potentials u [1, Rp, 1] / v [1, 1, Cp] — the big matrix
+    is read once and never written (the final ``M + u + v`` is one fused XLA
+    elementwise pass outside), which keeps VMEM to a single double-buffered
+    input block."""
+    log_a = log_a_ref[0]  # [Rp, 1]
+    log_b = log_b_ref[0]  # [1, Cp]
+
+    def lse_cols(x):  # logsumexp over columns -> [Rp, 1]
+        m = jnp.max(x, axis=1, keepdims=True)
+        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=1, keepdims=True))
+
+    def lse_rows(x):  # logsumexp over rows -> [1, Cp]
+        m = jnp.max(x, axis=0, keepdims=True)
+        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
+
+    def body(_, carry):
+        u, v = carry
+        u = log_a - lse_cols(s_ref[0] + v)
+        v = log_b - lse_rows(s_ref[0] + u)
+        return u, v
+
+    u0 = jnp.zeros_like(log_a)
+    v0 = jnp.zeros_like(log_b)
+    u, v = jax.lax.fori_loop(0, num_iters, body, (u0, v0))
+    u_ref[0] = u
+    v_ref[0] = v
+
+
+def log_sinkhorn(
+    log_a: jnp.ndarray,
+    log_b: jnp.ndarray,
+    M: jnp.ndarray,
+    num_iters: int = 20,
+    reg: float = 1.0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Drop-in for ops.sinkhorn.log_sinkhorn. M: [B, R, C]."""
+    batch, rows, cols = M.shape
+    rp, cp = _round_up(rows, 8), _round_up(cols, 128)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    M32 = (M / reg).astype(jnp.float32)
+    M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
+    M_pad = M_pad.at[:, :rows, :cols].set(M32)
+    # Padded rows/cols get -inf marginals: their potentials never matter
+    # because every matrix entry they touch is -inf too.
+    la = jnp.full((batch, rp, 1), _NEG_INF, jnp.float32)
+    la = la.at[:, :rows, 0].set(log_a.astype(jnp.float32))
+    lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
+    lb = lb.at[:, 0, :cols].set(log_b.astype(jnp.float32))
+
+    kernel = functools.partial(_sinkhorn_kernel, num_iters=num_iters)
+    u, v = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, cp), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * batch * num_iters * rp * cp,
+            bytes_accessed=batch * rp * cp * 4,
+            transcendentals=2 * batch * num_iters * rp * cp,
+        ),
+    )(M_pad, la, lb)
+    log_P = M32 + u[:, :rows, :] + v[:, :, :cols]
+    return log_P.astype(M.dtype)
+
+
+def log_optimal_transport(
+    scores: jnp.ndarray,
+    dustbin_score: jnp.ndarray,
+    num_iters: int = 20,
+    reg: float = 1.0,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Drop-in for ops.sinkhorn.log_optimal_transport with the Sinkhorn loop
+    fused on-chip. Falls back to the XLA path when the matrix exceeds VMEM.
+
+    Differentiable via implicit recomputation: gradients flow through the
+    same padded logsumexp graph in the XLA fallback — for the kernel path we
+    wrap with jax.custom_vjp replaying the XLA implementation backward.
+    """
+    batch, m, n = scores.shape
+    if not fits_vmem(m + 1, n + 1):
+        return sinkhorn_ref.log_optimal_transport(
+            scores, dustbin_score, num_iters, reg, mask0, mask1
+        )
+
+    # custom_vjp over (scores, dustbin) only; masks and statics are closed
+    # over (bool arrays cannot carry cotangents). Created per call — traced
+    # once per enclosing jit compilation, so no runtime overhead.
+    @jax.custom_vjp
+    def f(s, d):
+        return _log_ot_forward_impl(s, d, num_iters, reg, mask0, mask1, interpret)
+
+    def f_fwd(s, d):
+        return f(s, d), (s, d)
+
+    def f_bwd(residuals, g):
+        s, d = residuals
+        _, vjp = jax.vjp(
+            lambda s_, d_: sinkhorn_ref.log_optimal_transport(
+                s_, d_, num_iters, reg, mask0, mask1
+            ),
+            s,
+            d,
+        )
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(scores, dustbin_score)
+
+
+def _log_ot_forward_impl(scores, dustbin_score, num_iters, reg, mask0, mask1, interpret):
+    batch, m, n = scores.shape
+    S_aug = sinkhorn_ref.augment_scores(scores, dustbin_score)
+
+    if mask0 is None and mask1 is None:
+        norm = -jnp.log(jnp.asarray(n + m, dtype=scores.dtype))
+        log_a = jnp.full((m + 1,), norm, dtype=scores.dtype)
+        log_a = log_a.at[-1].add(jnp.log(jnp.asarray(n, dtype=scores.dtype)))
+        log_b = jnp.full((n + 1,), norm, dtype=scores.dtype)
+        log_b = log_b.at[-1].add(jnp.log(jnp.asarray(m, dtype=scores.dtype)))
+        log_a = jnp.broadcast_to(log_a, (batch, m + 1))
+        log_b = jnp.broadcast_to(log_b, (batch, n + 1))
+        log_P = log_sinkhorn(log_a, log_b, S_aug, num_iters, reg, interpret)
+        return log_P - norm
+
+    if mask0 is None:
+        mask0 = jnp.ones((batch, m), dtype=bool)
+    if mask1 is None:
+        mask1 = jnp.ones((batch, n), dtype=bool)
+    count0 = jnp.sum(mask0, axis=1).astype(scores.dtype)
+    count1 = jnp.sum(mask1, axis=1).astype(scores.dtype)
+    total = jnp.maximum(count0 + count1, 1.0)
+    norm = -jnp.log(total)
+
+    valid_row = jnp.concatenate([mask0, jnp.ones((batch, 1), dtype=bool)], axis=1)
+    valid_col = jnp.concatenate([mask1, jnp.ones((batch, 1), dtype=bool)], axis=1)
+    pair_valid = valid_row[:, :, None] & valid_col[:, None, :]
+    S_aug = jnp.where(pair_valid, S_aug, _NEG_INF)
+
+    log_a = jnp.where(valid_row, norm[:, None], _NEG_INF)
+    log_a = log_a.at[:, -1].set(norm + jnp.log(jnp.maximum(count1, 1.0)))
+    log_b = jnp.where(valid_col, norm[:, None], _NEG_INF)
+    log_b = log_b.at[:, -1].set(norm + jnp.log(jnp.maximum(count0, 1.0)))
+
+    log_P = log_sinkhorn(log_a, log_b, S_aug, num_iters, reg, interpret)
+    return log_P - norm[:, None, None]

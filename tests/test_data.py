@@ -1,0 +1,249 @@
+"""Data-layer tests against generated on-disk fixtures: a miniature MegaDepth
+tree (pairs.txt + images + depth h5 + cached features) and an image folder for
+the homography dataset. No real datasets needed (SURVEY.md §4: fixed-seed
+synthetic fixtures replace MegaDepth)."""
+
+import numpy as np
+import pytest
+
+from openglue_tpu.data import (
+    BalancedSceneSampler,
+    DataLoader,
+    HomographyPairsDataset,
+    MegaDepthPairsDataset,
+    MegaDepthPairsDatasetFeatures,
+    MegaDepthPairsIndex,
+    stack_keypoints_batch,
+)
+from openglue_tpu.data.io import save_h5
+
+W_ORIG, H_ORIG = 480, 360
+TARGET = (320, 240)
+# Cached features are extracted at aspect-preserving resize, so exactly ONE
+# dimension exceeds the training target (reference extract_features resize
+# contract); with extraction size (480, 360), crop height only.
+TARGET_CACHED = (480, 240)
+
+
+def make_megadepth_fixture(root, scenes=("scene_a", "scene_b"), pairs_per_scene=3,
+                           with_features=True, num_kpts=50, desc_dim=32, seed=0):
+    import cv2
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    K = np.array([[400.0, 0, W_ORIG / 2], [0, 400.0, H_ORIG / 2], [0, 0, 1]])
+    for scene in scenes:
+        img_dir = root / "phoenix/S6/zl548/MegaDepth_v1" / scene / "dense0/imgs"
+        depth_dir = root / "phoenix/S6/zl548/MegaDepth_v1" / scene / "dense0/depths"
+        pairs_dir = root / "pairs" / scene / "sparse-txt"
+        feat_dir = root / "features_cache" / scene
+        for d in (img_dir, depth_dir, pairs_dir, feat_dir):
+            d.mkdir(parents=True, exist_ok=True)
+
+        names = []
+        for i in range(pairs_per_scene + 1):
+            name = f"im{i}.jpg"
+            names.append(name)
+            img = rng.integers(0, 255, (H_ORIG, W_ORIG, 3), np.uint8)
+            cv2.imwrite(str(img_dir / name), img)
+            depth = rng.uniform(2.0, 8.0, (H_ORIG, W_ORIG)).astype(np.float32)
+            with h5py.File(depth_dir / f"im{i}.h5", "w") as f:
+                f.create_dataset("depth", data=depth)
+            if with_features:
+                # cached features at "extraction size" = original size
+                lafs = np.zeros((num_kpts, 2, 3), np.float32)
+                lafs[:, 0, 0] = lafs[:, 1, 1] = 1.0
+                lafs[:, 0, 2] = rng.uniform(0, W_ORIG - 1, num_kpts)
+                lafs[:, 1, 2] = rng.uniform(0, H_ORIG - 1, num_kpts)
+                save_h5(feat_dir / f"im{i}_lafs.h5", lafs)
+                save_h5(feat_dir / f"im{i}_scores.h5", rng.uniform(0, 1, num_kpts).astype(np.float32))
+                save_h5(feat_dir / f"im{i}_descriptors.h5", rng.normal(size=(num_kpts, desc_dim)).astype(np.float32))
+                save_h5(feat_dir / f"im{i}_size.h5", np.asarray([W_ORIG, H_ORIG]))
+
+        lines = []
+        for i in range(pairs_per_scene):
+            R = np.eye(3)
+            T = np.array([0.1 * (i + 1), 0.0, 0.0])
+            RT = np.eye(4)
+            RT[:3, :3], RT[:3, 3] = R, T
+            overlap = 0.2 + 0.1 * i
+            parts = (
+                [names[i], names[i + 1], "0", "0"]
+                + [f"{x:.6f}" for x in K.flatten()]
+                + [f"{x:.6f}" for x in K.flatten()]
+                + [f"{x:.6f}" for x in RT.flatten()]
+                + [f"{overlap:.3f}"]
+            )
+            lines.append(" ".join(parts))
+        (pairs_dir / "pairs.txt").write_text("\n".join(lines) + "\n")
+    return K
+
+
+class TestIndex:
+    def test_parse_and_overlap_filter(self, tmp_path):
+        make_megadepth_fixture(tmp_path)
+        idx = MegaDepthPairsIndex(tmp_path, ["scene_a", "scene_b"])
+        assert len(idx) == 6
+        rec = idx[0]
+        assert rec.K0.shape == (3, 3) and rec.R.shape == (3, 3) and rec.T.shape == (3,)
+        filtered = MegaDepthPairsIndex(
+            tmp_path, ["scene_a", "scene_b"], overlap=(0.25, 0.45)
+        )
+        # overlaps are 0.2/0.3/0.4 per scene -> 2 pass per scene
+        assert len(filtered) == 4
+        capped = MegaDepthPairsIndex(tmp_path, ["scene_a"], max_pairs_per_scene=1)
+        assert len(capped) == 1
+        missing = MegaDepthPairsIndex(tmp_path, ["nonexistent"])
+        assert len(missing) == 0
+
+
+class TestOnlineDataset:
+    def test_sample_shapes_and_intrinsics_update(self, tmp_path):
+        make_megadepth_fixture(tmp_path)
+        ds = MegaDepthPairsDataset(tmp_path, ["scene_a"], target_size=TARGET)
+        sample = ds[0]
+        assert sample["image0"].shape == (TARGET[1], TARGET[0])
+        assert sample["transformation"]["depth0"].shape == (TARGET[1], TARGET[0])
+        # principal point must stay at the crop center (center crop of a
+        # centered camera): cx = W/2 scaled then shifted by crop start
+        K0 = sample["transformation"]["K0"]
+        np.testing.assert_allclose(K0[0, 2], TARGET[0] / 2, atol=1.0)
+        np.testing.assert_allclose(K0[1, 2], TARGET[1] / 2, atol=1.0)
+        assert 0.0 <= sample["image0"].min() and sample["image0"].max() <= 1.0
+
+
+class TestCachedDataset:
+    def test_crop_filters_and_shifts_keypoints(self, tmp_path):
+        make_megadepth_fixture(tmp_path)
+        ds = MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a"], target_size=TARGET_CACHED
+        )
+        s = ds[0]
+        for i in (0, 1):
+            lafs = s[f"lafs{i}"]
+            n = lafs.shape[0]
+            assert 0 < n < 50, "height crop must drop some keypoints"
+            assert n == s[f"scores{i}"].shape[0] == s[f"descriptors{i}"].shape[0]
+            # all surviving keypoints inside the crop
+            assert (lafs[:, 0, 2] >= 0).all() and (lafs[:, 0, 2] < TARGET_CACHED[0]).all()
+            assert (lafs[:, 1, 2] >= 0).all() and (lafs[:, 1, 2] < TARGET_CACHED[1]).all()
+        assert s["transformation"]["depth0"].shape == (TARGET_CACHED[1], TARGET_CACHED[0])
+
+
+class TestCollate:
+    def test_pad_and_subsample(self, tmp_path):
+        make_megadepth_fixture(tmp_path)
+        ds = MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a", "scene_b"], target_size=TARGET_CACHED
+        )
+        samples = [ds[i] for i in range(3)]
+        # target above available -> pad; mask marks real kpts; depth>0 there
+        batch = stack_keypoints_batch(samples, target_num_keypoints=64, random=False)
+        assert batch.side0.keypoints.shape == (3, 64, 2)
+        assert batch.side0.descriptors.shape == (3, 64, 32)
+        assert batch.side0.side_info.shape == (3, 64, 1)
+        n_real = batch.side0.mask.sum(axis=1)
+        assert (n_real <= 50).all() and (n_real > 0).all()
+        assert (batch.transformation.depth0[~batch.side0.mask] == 0).all()
+        assert (batch.transformation.depth0[batch.side0.mask] > 0).all()
+
+        # target below available -> top-score selection keeps highest scores
+        small = stack_keypoints_batch(samples, target_num_keypoints=8, random=False)
+        assert small.side0.mask.all()
+        for s, sel in zip(samples, small.side0.side_info[..., 0]):
+            thresh = np.sort(s["scores0"])[-8]
+            assert (sel >= thresh - 1e-6).all()
+
+    def test_collate_is_jit_consumable(self, tmp_path):
+        import jax
+
+        from openglue_tpu.geometry.gt_matches import generate_gt_matches
+
+        make_megadepth_fixture(tmp_path)
+        ds = MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a"], target_size=TARGET_CACHED
+        )
+        batch = stack_keypoints_batch([ds[0], ds[1]], target_num_keypoints=64)
+        gt = jax.jit(
+            lambda b: generate_gt_matches(
+                b.side0.keypoints, b.side1.keypoints, b.transformation,
+                positive_threshold=3.0, mask0=b.side0.mask, mask1=b.side1.mask,
+            )
+        )(batch)
+        assert gt["gt_matches0"].shape == (2, 64)
+        # padded keypoints must be IGNORE (-2)
+        m = np.asarray(batch.side0.mask)
+        assert (np.asarray(gt["gt_matches0"])[~m] == -2).all()
+
+
+class TestSampler:
+    def test_scene_balanced(self):
+        sampler = BalancedSceneSampler(
+            {"big": 900, "small": 100}, seed=1, num_shards=1, shard_index=0
+        )
+        it = iter(sampler)
+        draws = [next(it) for _ in range(4000)]
+        small_frac = np.mean([d >= 900 for d in draws])
+        assert 0.4 < small_frac < 0.6  # uniform over scenes, not pairs
+
+    def test_shards_disjoint_streams(self):
+        a = iter(BalancedSceneSampler({"s": 100}, seed=5, num_shards=2, shard_index=0))
+        b = iter(BalancedSceneSampler({"s": 100}, seed=5, num_shards=2, shard_index=1))
+        assert [next(a) for _ in range(50)] != [next(b) for _ in range(50)]
+
+
+class TestLoader:
+    def test_prefetch_preserves_order_and_content(self):
+        data = list(range(100))
+        loader = DataLoader(
+            data, batch_size=10, collate_fn=lambda xs: sum(xs), num_workers=3
+        )
+        out = list(loader)
+        assert out == [sum(range(i, i + 10)) for i in range(0, 100, 10)]
+
+    def test_worker_exception_propagates(self):
+        def bad_collate(xs):
+            raise RuntimeError("boom")
+
+        loader = DataLoader(list(range(10)), batch_size=5, collate_fn=bad_collate, num_workers=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+
+    def test_infinite_sampler_bounded(self):
+        loader = DataLoader(
+            list(range(10)),
+            batch_size=2,
+            collate_fn=list,
+            sampler=iter(lambda: 3, None),  # infinite 3s
+            num_workers=0,
+            num_batches=5,
+        )
+        assert len(list(loader)) == 5
+
+
+class TestHomographyDataset:
+    def test_warp_consistency(self, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        # structured image so warp correspondence is checkable
+        img = np.zeros((400, 500, 3), np.uint8)
+        for _ in range(60):
+            x, y = rng.integers(50, 450), rng.integers(50, 350)
+            cv2.circle(img, (int(x), int(y)), rng.integers(5, 20), rng.integers(50, 255, 3).tolist(), -1)
+        cv2.imwrite(str(img_dir / "a.png"), img)
+
+        ds = HomographyPairsDataset(
+            img_dir, target_size=(320, 240), max_corner_offset=40,
+            color_augmentation=False, seed=3,
+        )
+        s = ds[0]
+        assert s["image0"].shape == (240, 320)
+        H = s["transformation"]["H"]
+        # warp image0 by H -> must closely match image1 in the valid interior
+        warped = cv2.warpPerspective(s["image0"], H, (320, 240))
+        interior = np.s_[60:180, 80:240]
+        diff = np.abs(warped[interior] - s["image1"][interior])
+        assert np.median(diff) < 0.05

@@ -1,0 +1,106 @@
+"""Metric tests with synthetic two-view geometry: perfect matches must score
+precision ~1 and pose error ~0; corrupted matches must degrade both."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openglue_tpu.geometry.epipolar import essential_from_Rt, symmetrical_epipolar_distance
+from openglue_tpu.metrics import CameraPoseAUC, EpipolarDistanceMetric
+
+
+def synthetic_two_view(n=200, seed=0):
+    """3D points projected into two cameras with a known relative pose."""
+    rng = np.random.default_rng(seed)
+    pts3d = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), rng.uniform(4, 8, n)], axis=1
+    )
+    angle = 0.15
+    R = np.array(
+        [
+            [np.cos(angle), 0, np.sin(angle)],
+            [0, 1, 0],
+            [-np.sin(angle), 0, np.cos(angle)],
+        ]
+    )
+    T = np.array([0.5, 0.1, 0.02])
+    K = np.array([[800.0, 0, 480], [0, 800.0, 360], [0, 0, 1]])
+
+    def project(P):
+        uv = (K @ P.T).T
+        return uv[:, :2] / uv[:, 2:3]
+
+    kpts0 = project(pts3d)
+    kpts1 = project((R @ pts3d.T).T + T)
+    return kpts0, kpts1, K, R, T
+
+
+def test_symmetric_epipolar_distance_zero_for_true_matches():
+    kpts0, kpts1, K, R, T = synthetic_two_view()
+    pts0 = (kpts0 - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    pts1 = (kpts1 - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    E = essential_from_Rt(jnp.asarray(R)[None], jnp.asarray(T)[None])
+    d = symmetrical_epipolar_distance(
+        jnp.asarray(pts0)[None], jnp.asarray(pts1)[None], E
+    )
+    assert float(jnp.max(d)) < 1e-9
+
+
+def test_epipolar_metric_perfect_and_corrupted():
+    kpts0, kpts1, K, R, T = synthetic_two_view()
+    n = kpts0.shape[0]
+    matches0 = np.arange(n)
+
+    metric = EpipolarDistanceMetric(threshold=5e-4)
+    metric.update(
+        kpts0[None], kpts1[None], matches0[None], K[None], K[None], R[None], T[None]
+    )
+    res = metric.compute()
+    assert res["Precision@0.0005"] > 0.99
+    assert res["Matching Score@0.0005"] > 0.99
+
+    # shuffle half the matches -> wrong epipolar geometry for those
+    bad = matches0.copy()
+    bad[: n // 2] = np.roll(bad[: n // 2], 7)
+    metric2 = EpipolarDistanceMetric(threshold=5e-4)
+    metric2.update(
+        kpts0[None], kpts1[None], bad[None], K[None], K[None], R[None], T[None]
+    )
+    res2 = metric2.compute()
+    assert res2["Precision@0.0005"] < res["Precision@0.0005"] - 0.2
+
+
+def test_pose_auc_recovers_gt_pose():
+    kpts0, kpts1, K, R, T = synthetic_two_view(n=300)
+    matches0 = np.arange(300)
+    auc = CameraPoseAUC()
+    auc.update(
+        kpts0[None], kpts1[None], matches0[None], K[None], K[None], R[None], T[None]
+    )
+    res = auc.compute()
+    assert auc.pose_errors[0] < 1.0  # degrees
+    assert res["AUC@5deg"] > 0.7
+    assert res["AUC@20deg"] >= res["AUC@10deg"] >= res["AUC@5deg"]
+
+
+def test_pose_auc_degrades_with_noise():
+    kpts0, kpts1, K, R, T = synthetic_two_view(n=300)
+    rng = np.random.default_rng(1)
+    kpts1_noisy = kpts1 + rng.normal(0, 30.0, kpts1.shape)
+    matches0 = np.arange(300)
+    auc = CameraPoseAUC()
+    auc.update(
+        kpts0[None], kpts1_noisy[None], matches0[None], K[None], K[None], R[None], T[None]
+    )
+    assert auc.pose_errors[0] > 2.0
+
+
+def test_pose_auc_too_few_matches_is_180():
+    kpts0, kpts1, K, R, T = synthetic_two_view(n=10)
+    matches0 = np.full(10, -1)
+    matches0[:3] = np.arange(3)
+    auc = CameraPoseAUC()
+    auc.update(
+        kpts0[None], kpts1[None], matches0[None], K[None], K[None], R[None], T[None]
+    )
+    assert auc.pose_errors == [180.0]

@@ -1,0 +1,130 @@
+"""Pallas kernels vs XLA reference implementations (interpret mode on CPU).
+
+Every kernel must match its einsum/logsumexp reference (SURVEY.md §2: each
+Pallas kernel keeps a reference fallback) in forward values and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openglue_tpu.ops import attention as attn_ref
+from openglue_tpu.ops import sinkhorn as sink_ref
+from openglue_tpu.ops.pallas import attention_kernel, sinkhorn_kernel
+
+
+def rand(key, *shape):
+    return jax.random.normal(jax.random.key(key), shape, jnp.float32)
+
+
+class TestAttentionKernel:
+    def test_matches_reference_no_mask(self):
+        q, k, v = rand(0, 2, 4, 96, 64), rand(1, 2, 4, 80, 64), rand(2, 2, 4, 80, 64)
+        ref, _ = attn_ref.softmax_attention(q, k, v)
+        out = attention_kernel.masked_softmax_attention(q, k, v, block_q=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_matches_reference_with_mask(self):
+        q, k, v = rand(0, 2, 4, 64, 64), rand(1, 2, 4, 64, 64), rand(2, 2, 4, 64, 64)
+        mask = jnp.arange(64)[None, :] < jnp.asarray([40, 64])[:, None]
+        ref, _ = attn_ref.softmax_attention(q, k, v, mask)
+        out = attention_kernel.masked_softmax_attention(q, k, v, mask, block_q=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_unaligned_shapes(self):
+        q, k, v = rand(0, 1, 2, 50, 64), rand(1, 1, 2, 37, 64), rand(2, 1, 2, 37, 64)
+        ref, _ = attn_ref.softmax_attention(q, k, v)
+        out = attention_kernel.masked_softmax_attention(q, k, v, block_q=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        q, k, v = rand(0, 1, 2, 32, 64), rand(1, 1, 2, 32, 64), rand(2, 1, 2, 32, 64)
+        mask = jnp.arange(32)[None, :] < 25
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(
+                attention_kernel.masked_softmax_attention(q, k, v, mask, block_q=16) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attn_ref.softmax_attention(q, k, v, mask)[0] ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+class TestSinkhornKernel:
+    def test_matches_reference_no_mask(self):
+        scores = rand(0, 3, 60, 70)
+        dustbin = jnp.asarray(1.3)
+        ref = sink_ref.log_optimal_transport(scores, dustbin, num_iters=15)
+        out = sinkhorn_kernel.log_optimal_transport(scores, dustbin, num_iters=15)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_matches_reference_with_masks(self):
+        scores = rand(0, 2, 40, 50)
+        dustbin = jnp.asarray(0.7)
+        mask0 = jnp.arange(40)[None, :] < jnp.asarray([30, 40])[:, None]
+        mask1 = jnp.arange(50)[None, :] < jnp.asarray([50, 20])[:, None]
+        ref = sink_ref.log_optimal_transport(
+            scores, dustbin, num_iters=15, mask0=mask0, mask1=mask1
+        )
+        out = sinkhorn_kernel.log_optimal_transport(
+            scores, dustbin, num_iters=15, mask0=mask0, mask1=mask1
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_transport_mass_conserved(self):
+        scores = rand(0, 2, 33, 47)
+        out = sinkhorn_kernel.log_optimal_transport(scores, jnp.asarray(1.0), num_iters=40)
+        mass = np.asarray(jnp.sum(jnp.exp(out), axis=(1, 2)))
+        np.testing.assert_allclose(mass, 33 + 47, rtol=1e-4)
+
+    def test_gradients_match_reference(self):
+        scores = rand(0, 2, 24, 30)
+        dustbin = jnp.asarray(1.0)
+
+        def loss_kernel(s, d):
+            return jnp.sum(sinkhorn_kernel.log_optimal_transport(s, d, num_iters=10) ** 2)
+
+        def loss_ref(s, d):
+            return jnp.sum(sink_ref.log_optimal_transport(s, d, num_iters=10) ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1))(scores, dustbin)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(scores, dustbin)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_large_graph_falls_back_to_xla(self):
+        # N=2048 exceeds the VMEM budget; must route to the reference path.
+        assert not sinkhorn_kernel.fits_vmem(2049, 2049)
+        assert sinkhorn_kernel.fits_vmem(1025, 1025)
+
+
+class TestPallasModelPath:
+    def test_superglue_forward_use_pallas_matches_xla(self):
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train.step import superglue_inputs
+
+        gen = SyntheticHomographyPairs(num_keypoints=48, descriptor_dim=64)
+        batch = gen.sample(jax.random.key(0), 2)
+        kwargs = dict(
+            descriptor_dim=64,
+            pe_hidden_layers_sizes=(32,),
+            num_stages=2,
+            num_heads=4,
+            otp_num_iters=8,
+            residual=True,
+        )
+        m_ref = SuperGlue(SuperGlueConfig(**kwargs, use_pallas=False))
+        m_pal = SuperGlue(SuperGlueConfig(**kwargs, use_pallas=True))
+        variables = m_ref.init(jax.random.key(1), **superglue_inputs(batch))
+        out_ref = m_ref.apply(variables, **superglue_inputs(batch))
+        out_pal = m_pal.apply(variables, **superglue_inputs(batch))
+        np.testing.assert_allclose(
+            np.asarray(out_pal["scores"]), np.asarray(out_ref["scores"]), atol=5e-4
+        )
