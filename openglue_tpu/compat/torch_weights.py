@@ -160,9 +160,10 @@ def superpoint_params_from_torch(
         for name in bn_names:
             params[name] = _bn_params(sd, name)
             stats[name] = _bn_stats(sd, name)
-    out: Dict[str, Any] = {"params": params}
+    # the flax SuperPoint module nests the CNN under 'backbone'
+    out: Dict[str, Any] = {"params": {"backbone": params}}
     if with_bn:
-        out["batch_stats"] = stats
+        out["batch_stats"] = {"backbone": stats}
     return out
 
 

@@ -1,0 +1,111 @@
+"""Combined extractor + matcher module for online training
+(reference models/matching_module.py:17-187).
+
+Holds a device feature extractor (SuperPoint) and the SuperGlue matcher; the
+LAF->side-info conversion sits between them (reference matching_module.py:40-43
+wires side_info_dim = converter dims + 1 for the response). ``finetune=False``
+reproduces the reference's frozen-extractor semantics (requires_grad=False +
+eval() per step, matching_module.py:29-31,77-78): extractor outputs are
+stop_gradient'ed, BatchNorm uses running stats, and the optimizer additionally
+masks the extractor subtree (openglue_tpu.train.state label_extractor_frozen).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openglue_tpu.core.types import Features, PairBatch
+from openglue_tpu.features.lafs import get_laf_to_sideinfo_converter
+from openglue_tpu.features.prepare import features_to_keypoint_set
+from openglue_tpu.features.superpoint import SuperPoint, SuperPointConfig
+from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingModuleConfig:
+    superglue: SuperGlueConfig = SuperGlueConfig()
+    superpoint: SuperPointConfig = SuperPointConfig()
+    laf_converter: str = "none"
+    finetune: bool = False
+    log_response: bool = False
+
+    @classmethod
+    def from_dict(cls, cfg: Mapping[str, Any]) -> "MatchingModuleConfig":
+        """Assemble from a reference-schema config: features params +
+        superglue block; descriptor_dim and side_info_size are propagated into
+        the matcher config (reference matching_module.py:35-43)."""
+        features = cfg.get("features", {})
+        sp_params = {
+            k: v
+            for k, v in features.get("parameters", {}).items()
+            if k in {f.name for f in dataclasses.fields(SuperPointConfig)}
+        }
+        superpoint = SuperPointConfig(**sp_params)
+        laf_name = cfg.get("laf_to_sideinfo_method", "none")
+        converter = get_laf_to_sideinfo_converter(laf_name)
+        sg_cfg = dict(cfg.get("superglue", {}))
+        sg_cfg["descriptor_dim"] = superpoint.descriptor_dim
+        sg = SuperGlueConfig.from_dict(sg_cfg)
+        sg = dataclasses.replace(sg, side_info_size=converter.side_info_dim + 1)
+        return cls(
+            superglue=sg,
+            superpoint=superpoint,
+            laf_converter=laf_name,
+            finetune=cfg.get("train", {}).get("finetune_features_extractor", False),
+            log_response=features.get("log_response", False),
+        )
+
+
+class MatchingModule(nn.Module):
+    """image pair -> extracted features -> SuperGlue log-assignment."""
+
+    config: MatchingModuleConfig
+
+    def setup(self):
+        self.extractor = SuperPoint(self.config.superpoint, name="extractor")
+        self.superglue = SuperGlue(self.config.superglue, name="superglue")
+        self._laf_converter = get_laf_to_sideinfo_converter(self.config.laf_converter)
+
+    def extract(self, image: jnp.ndarray, train: bool = False) -> Features:
+        """image: [B, H, W] or [B, H, W, 1]."""
+        if image.ndim == 3:
+            image = image[..., None]
+        extractor_train = train and self.config.finetune
+        feats = self.extractor(image, train=extractor_train)
+        if not self.config.finetune:
+            feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+        return feats
+
+    def __call__(
+        self, image0: jnp.ndarray, image1: jnp.ndarray, train: bool = False
+    ) -> Tuple[Dict[str, jnp.ndarray], PairBatch]:
+        h, w = image0.shape[1:3] if image0.ndim >= 3 else image0.shape
+        image_size = jnp.asarray([image0.shape[2], image0.shape[1]], jnp.float32)
+
+        feats0 = self.extract(image0, train)
+        feats1 = self.extract(image1, train)
+        side0 = features_to_keypoint_set(
+            feats0, self._laf_converter, image_size, log_response=self.config.log_response
+        )
+        side1 = features_to_keypoint_set(
+            feats1, self._laf_converter, image_size, log_response=self.config.log_response
+        )
+        out = self.superglue(
+            kpts0=side0.keypoints,
+            kpts1=side1.keypoints,
+            desc0=side0.descriptors,
+            desc1=side1.descriptors,
+            side_info0=side0.side_info,
+            side_info1=side1.side_info,
+            image_size0=side0.image_size,
+            image_size1=side1.image_size,
+            mask0=side0.mask,
+            mask1=side1.mask,
+            train=train,
+        )
+        return out, PairBatch(side0=side0, side1=side1)

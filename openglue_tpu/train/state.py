@@ -68,6 +68,27 @@ def make_optimizer(
     return optax.chain(*transforms)
 
 
+def make_online_optimizer(
+    params: Mapping[str, Any],
+    learning_rate: float = 1e-4,
+    gamma: float = 0.999994,
+    gradient_clip: Optional[float] = 10.0,
+    finetune_extractor: bool = False,
+    extractor_key: str = "extractor",
+) -> optax.GradientTransformation:
+    """Optimizer for the combined extractor+matcher module: when the extractor
+    is frozen its subtree gets zero updates (the reference sets
+    requires_grad=False and optimizes superglue params only,
+    matching_module.py:29-31,133-136)."""
+    base = make_optimizer(learning_rate, gamma, gradient_clip)
+    if finetune_extractor:
+        return base
+    labels = {k: ("frozen" if k == extractor_key else "train") for k in params}
+    return optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()}, labels
+    )
+
+
 def create_train_state(
     apply_fn: Callable,
     variables: Mapping[str, Any],

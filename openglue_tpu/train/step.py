@@ -131,6 +131,71 @@ def make_eval_step(match_threshold: float = 0.2):
     return eval_step
 
 
+def make_online_train_step(
+    loss_config: LossConfig,
+    augmentation: str = "none",
+):
+    """Train step for the ONLINE path (reference matching_module.py:71-105):
+    device-side augmentation -> feature extraction -> GT generation from the
+    batch transformation -> SuperGlue -> loss. The whole chain is one jit;
+    state.apply_fn must be a MatchingModule.apply.
+
+    batch: dict with image0/image1 [B, H, W] and a Transformation pytree.
+    """
+    from openglue_tpu.augmentations import get_augmentation_transform
+
+    augment = get_augmentation_transform(augmentation)
+
+    def train_step(state: MatcherTrainState, batch, rng: jax.Array):
+        rng0, rng1 = jax.random.split(jax.random.fold_in(rng, state.step))
+        image0 = augment(rng0, batch["image0"])
+        image1 = augment(rng1, batch["image1"])
+        transformation = batch["transformation"]
+
+        mutable = [k for k in state.model_state if k == "batch_stats"]
+
+        def loss_fn(params):
+            variables = {"params": params, **state.model_state}
+            out = state.apply_fn(
+                variables, image0, image1, train=True, mutable=mutable
+            )
+            (pred, pair), mutated = out if mutable else (out, {})
+            gt = generate_gt_matches(
+                pair.side0.keypoints,
+                pair.side1.keypoints,
+                transformation,
+                positive_threshold=loss_config.positive_threshold,
+                negative_threshold=loss_config.negative_threshold,
+                mask0=pair.side0.mask,
+                mask1=pair.side1.mask,
+                parity_mode=loss_config.gt_parity_mode,
+            )
+            losses = criterion(
+                gt, pred, margin=loss_config.margin,
+                mask0=pair.side0.mask, mask1=pair.side1.mask,
+            )
+            total = (
+                loss_config.nll_weight * losses["loss"]
+                + loss_config.metric_weight * losses["metric_loss"]
+            )
+            return total, (mutated, losses)
+
+        (total, (mutated, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_model_state = {**state.model_state, **dict(mutated)}
+        state = state.apply_gradients(grads=grads, model_state=new_model_state)
+        metrics = {
+            "total_loss": total,
+            "nll_loss": losses["loss"],
+            "metric_loss": losses["metric_loss"],
+            "grad_norm": optax_global_norm(grads),
+        }
+        return state, metrics
+
+    return train_step
+
+
 def redraw_favor_projections(
     state: MatcherTrainState, rng: jax.Array
 ) -> MatcherTrainState:
