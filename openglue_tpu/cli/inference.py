@@ -1,0 +1,242 @@
+"""Inference API + CLI (reference inference.py:41-270).
+
+``OpenGlueMatcher`` mirrors the reference's kornia-LocalFeatureMatcher-style
+module: initialize from an experiment directory (config.yaml +
+features_config.yaml + checkpoints/, the layout written by the training CLIs),
+take two images, return matched keypoints/LAFs/confidences after
+mutual-NN + threshold decoding. ``run_inference`` adds MAGSAC fundamental-
+matrix inlier filtering (reference inference.py:230-233).
+
+Usage:
+  python -m openglue_tpu.cli.inference --experiment logs/... \
+      --image0 a.jpg --image1 b.jpg [--output matches.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from openglue_tpu.core.config import Config, load_config
+
+
+class OpenGlueMatcher:
+    """Two-image matcher built from an experiment directory."""
+
+    def __init__(
+        self,
+        config: Config,
+        features_config: Config,
+        variables: Dict,
+        match_threshold: Optional[float] = None,
+        target_size: Tuple[int, int] = (960, 720),
+    ):
+        import jax
+
+        from openglue_tpu.features.lafs import get_laf_to_sideinfo_converter
+        from openglue_tpu.features.registry import is_device_extractor
+        from openglue_tpu.cli.common import superglue_config_from
+        from openglue_tpu.models.superglue import SuperGlue
+
+        self.config = config
+        self.features_config = features_config
+        self.match_threshold = (
+            match_threshold
+            if match_threshold is not None
+            else float(config.get("inference.match_threshold", 0.2))
+        )
+        self.target_size = tuple(target_size)
+
+        laf_method = config.get("superglue.laf_to_sideinfo_method", "none")
+        self.laf_converter = get_laf_to_sideinfo_converter(laf_method)
+        descriptor_dim = int(features_config["descriptor_dim"])
+        sg_config = superglue_config_from(config, descriptor_dim, self.laf_converter.side_info_dim)
+        self.matcher = SuperGlue(sg_config)
+        self.variables = variables
+
+        name = features_config["name"]
+        self.device_extractor = is_device_extractor(name)
+        if self.device_extractor:
+            from openglue_tpu.cli.extract_features import build_device_extractor
+
+            self.ext_variables, self.ext_apply = build_device_extractor(
+                features_config, features_config.get("weights")
+            )
+        else:
+            from openglue_tpu.features.registry import get_feature_extractor
+
+            self.extractor = get_feature_extractor(name)(
+                **features_config.get("parameters", {})
+            )
+
+        self._match_jit = jax.jit(
+            lambda v, kw: self.matcher.apply(v, **kw)
+        )
+
+    def extract(self, image: np.ndarray):
+        """grayscale uint8 [H, W] -> (lafs, scores, desc, mask) numpy."""
+        from openglue_tpu.data.io import aspect_preserving_resize
+
+        resized = aspect_preserving_resize(image, self.target_size)
+        h, w = resized.shape[:2]
+        if self.device_extractor:
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            padded = np.zeros((ph, pw), np.float32)
+            padded[:h, :w] = resized.astype(np.float32) / 255.0
+            feats = self.ext_apply(self.ext_variables, padded[None, ..., None])
+            return (
+                np.asarray(feats.lafs[0]),
+                np.asarray(feats.responses[0]),
+                np.asarray(feats.descriptors[0]),
+                np.asarray(feats.mask[0]),
+                (w, h),
+            )
+        lafs, scores, desc, mask = self.extractor.detect_and_compute(resized)
+        return lafs, scores, desc, mask, (w, h)
+
+    def match_images(self, image0: np.ndarray, image1: np.ndarray) -> Dict[str, np.ndarray]:
+        """Full pipeline on a pair of grayscale uint8 images."""
+        import jax.numpy as jnp
+
+        from openglue_tpu.features.prepare import prepare_features_output
+        from openglue_tpu.models.matching import decode_matches
+
+        sides = []
+        raw_lafs = []
+        for img in (image0, image1):
+            lafs, scores, desc, mask, size = self.extract(img)
+            raw_lafs.append(lafs)
+            side = prepare_features_output(
+                jnp.asarray(lafs[None]),
+                jnp.asarray(scores[None]),
+                jnp.asarray(desc[None]),
+                self.laf_converter,
+                jnp.asarray(np.asarray(size, np.float32)[None]),
+                mask=jnp.asarray(mask[None]),
+            )
+            sides.append(side)
+        s0, s1 = sides
+
+        out = self._match_jit(
+            self.variables,
+            dict(
+                kpts0=s0.keypoints, kpts1=s1.keypoints,
+                desc0=s0.descriptors, desc1=s1.descriptors,
+                side_info0=s0.side_info, side_info1=s1.side_info,
+                image_size0=s0.image_size, image_size1=s1.image_size,
+                mask0=s0.mask, mask1=s1.mask,
+            ),
+        )
+        decoded = decode_matches(
+            out["scores"], self.match_threshold, mask0=s0.mask, mask1=s1.mask
+        )
+        matches0 = np.asarray(decoded["matches0"][0])
+        conf = np.asarray(decoded["matching_scores0"][0])
+        valid = matches0 >= 0
+        idx0 = np.flatnonzero(valid)
+        idx1 = matches0[valid]
+        return {
+            "keypoints0": np.asarray(s0.keypoints[0])[idx0],
+            "keypoints1": np.asarray(s1.keypoints[0])[idx1],
+            "lafs0": raw_lafs[0][idx0],
+            "lafs1": raw_lafs[1][idx1],
+            "confidence": conf[idx0],
+            "indices0": idx0,
+            "indices1": idx1,
+            "scores": np.asarray(out["scores"][0]),
+        }
+
+
+def initialize_matcher(experiment_dir, checkpoint_step: Optional[int] = None, **kwargs) -> OpenGlueMatcher:
+    """Build a matcher from a training experiment directory
+    (reference initialize_models, inference.py:41-78)."""
+    import jax
+
+    experiment_dir = Path(experiment_dir)
+    config = load_config(experiment_dir / "config.yaml")
+    features_config = load_config(experiment_dir / "features_config.yaml")
+
+    matcher = OpenGlueMatcher(config, features_config, variables=None, **kwargs)
+
+    # template init then checkpoint restore (matcher weights live under
+    # params/... of the cached-training state)
+    import jax.numpy as jnp
+
+    from openglue_tpu.train import create_train_state
+    from openglue_tpu.train.checkpoint import restore_train_state
+    from openglue_tpu.train.step import superglue_inputs
+    from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+
+    descriptor_dim = int(features_config["descriptor_dim"])
+    gen = SyntheticHomographyPairs(
+        num_keypoints=16,
+        descriptor_dim=descriptor_dim,
+        side_info_dim=matcher.laf_converter.side_info_dim + 1,
+    )
+    dummy = gen.sample(jax.random.key(0), 1)
+    variables = matcher.matcher.init(jax.random.key(0), **superglue_inputs(dummy))
+    state = create_train_state(matcher.matcher.apply, variables)
+    state = restore_train_state(experiment_dir / "checkpoints", state, step=checkpoint_step)
+    matcher.variables = {"params": state.params, **state.model_state}
+    return matcher
+
+
+def magsac_inlier_filter(kpts0: np.ndarray, kpts1: np.ndarray) -> np.ndarray:
+    """USAC_MAGSAC fundamental-matrix inlier mask (reference inference.py:230-233)."""
+    import cv2
+
+    if len(kpts0) < 8:
+        return np.ones(len(kpts0), bool)
+    _, mask = cv2.findFundamentalMat(
+        kpts0.astype(np.float64), kpts1.astype(np.float64), cv2.USAC_MAGSAC,
+        1.0, 0.999, 100000,
+    )
+    if mask is None:
+        return np.ones(len(kpts0), bool)
+    return mask.ravel().astype(bool)
+
+
+def run_inference(matcher: OpenGlueMatcher, image0_path, image1_path, ransac: bool = True):
+    import cv2
+
+    img0 = cv2.cvtColor(cv2.imread(str(image0_path)), cv2.COLOR_BGR2GRAY)
+    img1 = cv2.cvtColor(cv2.imread(str(image1_path)), cv2.COLOR_BGR2GRAY)
+    result = matcher.match_images(img0, img1)
+    if ransac:
+        inliers = magsac_inlier_filter(result["keypoints0"], result["keypoints1"])
+        for key in ("keypoints0", "keypoints1", "lafs0", "lafs1", "confidence", "indices0", "indices1"):
+            result[key] = result[key][inliers]
+    return result
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--experiment", required=True)
+    parser.add_argument("--image0", required=True)
+    parser.add_argument("--image1", required=True)
+    parser.add_argument("--checkpoint_step", type=int, default=None)
+    parser.add_argument("--match_threshold", type=float, default=None)
+    parser.add_argument("--no_ransac", action="store_true")
+    parser.add_argument("--output", default=None, help="save matches to .npz")
+    args = parser.parse_args(argv)
+
+    matcher = initialize_matcher(
+        args.experiment, args.checkpoint_step, match_threshold=args.match_threshold
+    )
+    result = run_inference(matcher, args.image0, args.image1, ransac=not args.no_ransac)
+    print(f"{len(result['keypoints0'])} matches")
+    if args.output:
+        np.savez(
+            args.output,
+            keypoints0=result["keypoints0"],
+            keypoints1=result["keypoints1"],
+            confidence=result["confidence"],
+        )
+        print(f"saved to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

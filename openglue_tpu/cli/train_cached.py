@@ -1,0 +1,160 @@
+"""Cached-feature MegaDepth training (reference train_cached.py).
+
+The features config is read from ``<root>/<features_dir>/config.yaml`` — the
+contract written by the feature cacher (reference train_cached.py:58-59 /
+extract_features.py:103-104).
+
+Usage:
+  python -m openglue_tpu.cli.train_cached --config configs/config_cached.yaml \
+      [--config_override my.yaml] [--checkpoint path] [--smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from openglue_tpu.cli import common
+from openglue_tpu.core.config import load_config
+
+
+def build_dataloaders(config, laf_converter):
+    from functools import partial
+
+    from openglue_tpu.data import (
+        BalancedSceneSampler,
+        DataLoader,
+        MegaDepthPairsDatasetFeatures,
+        ShardedSequentialSampler,
+        stack_keypoints_batch,
+    )
+    from openglue_tpu.parallel.mesh import local_batch_slice
+
+    data = config["data"]
+    root = data["root_path"]
+
+    def read_scene_list(path):
+        p = Path(path)
+        if not p.is_absolute():
+            p = Path(root) / p
+        return [s.strip() for s in p.read_text().splitlines() if s.strip()]
+
+    num_kpts = int(data.get("max_keypoints", 1024))
+    global_batch = int(data["batch_size"])
+    start, stop = local_batch_slice(global_batch)
+    local_batch = stop - start
+
+    train_ds = MegaDepthPairsDatasetFeatures(
+        root, data["features_dir"], read_scene_list(data["train_list_path"]),
+        target_size=tuple(data.get("target_size", (960, 720))),
+        random_crop=True,
+        overlap=tuple(data["train_pairs_overlap"]) if data.get("train_pairs_overlap") else None,
+    )
+    val_ds = MegaDepthPairsDatasetFeatures(
+        root, data["features_dir"], read_scene_list(data["val_list_path"]),
+        target_size=tuple(data.get("target_size", (960, 720))),
+        random_crop=False,
+        max_pairs_per_scene=data.get("val_max_pairs_per_scene"),
+    )
+
+    train_loader = DataLoader(
+        train_ds,
+        batch_size=local_batch,
+        collate_fn=partial(
+            stack_keypoints_batch,
+            target_num_keypoints=num_kpts,
+            random=True,
+            laf_converter=laf_converter,
+        ),
+        sampler=iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
+        num_workers=int(data.get("dataloader_workers", 2)),
+    )
+    val_loader_fn = lambda: DataLoader(
+        val_ds,
+        batch_size=local_batch,
+        collate_fn=partial(
+            stack_keypoints_batch,
+            target_num_keypoints=num_kpts,
+            random=False,
+            laf_converter=laf_converter,
+        ),
+        sampler=iter(ShardedSequentialSampler(len(val_ds))),
+        num_workers=int(data.get("dataloader_workers", 2)),
+    )
+    return train_loader, val_loader_fn
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="configs/config_cached.yaml")
+    parser.add_argument("--config_override", default=None)
+    parser.add_argument("--checkpoint", default=None, help="resume from this checkpoint dir")
+    parser.add_argument("--smoke", action="store_true", help="tiny loop for CI")
+    args = parser.parse_args(argv)
+
+    config = common.load_merged_config(args.config, args.config_override)
+    if args.smoke:
+        config["train"]["steps_per_epoch"] = 2
+        config["train"]["epochs"] = 1
+
+    features_dir = Path(config["data"]["root_path"]) / config["data"]["features_dir"]
+    features_config = load_config(features_dir / "config.yaml")
+    descriptor_dim = int(features_config["descriptor_dim"])
+
+    from openglue_tpu.features.lafs import get_laf_to_sideinfo_converter
+    from openglue_tpu.models.superglue import SuperGlue
+    from openglue_tpu.train import create_train_state, make_eval_step, make_train_step
+    from openglue_tpu.train.checkpoint import restore_train_state
+    from openglue_tpu.train.loop import fit
+    from openglue_tpu.train.step import superglue_inputs
+
+    laf_method = config.get("superglue.laf_to_sideinfo_method", "none")
+    laf_converter = get_laf_to_sideinfo_converter(laf_method)
+    sg_config = common.superglue_config_from(config, descriptor_dim, laf_converter.side_info_dim)
+    model = SuperGlue(sg_config)
+
+    log_dir = common.prepare_logging_directory(config, features_config)
+    train_loader, val_loader_fn = build_dataloaders(config, laf_converter)
+
+    first = next(iter_once(train_loader))
+    variables = model.init(jax.random.key(0), **superglue_inputs(first))
+    state = create_train_state(
+        model.apply,
+        variables,
+        learning_rate=float(config.get("train.lr", 1e-4)),
+        gamma=float(config.get("train.scheduler_gamma", 0.999994)),
+        gradient_clip=float(config.get("train.grad_clip", 10.0)),
+    )
+    if args.checkpoint:
+        state = restore_train_state(args.checkpoint, state)
+
+    mesh, shard_batch, shard_train_step, shard_eval_step = common.build_mesh_and_sharding()
+    train_step = shard_train_step(make_train_step(common.loss_config_from(config)), mesh)
+    eval_step_fn = make_eval_step(float(config.get("inference.match_threshold", 0.2)))
+    # eval outputs come back to host for RANSAC; keep them on data sharding
+    eval_step = jax.jit(eval_step_fn)
+
+    loop_cfg = common.loop_config_from(config, log_dir)
+    state = fit(
+        state,
+        train_step,
+        train_loader,
+        loop_cfg,
+        eval_step=eval_step,
+        eval_batches_fn=val_loader_fn,
+        shard_fn=lambda b: shard_batch(b, mesh),
+    )
+    return state
+
+
+def iter_once(loader):
+    for batch in loader:
+        yield batch
+        break
+
+
+if __name__ == "__main__":
+    main()

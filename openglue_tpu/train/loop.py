@@ -1,0 +1,155 @@
+"""Training loop (replaces pl.Trainer; reference train.py:69-85,
+matching_module.py:71-131).
+
+Structure per epoch: ``steps_per_epoch`` jitted train steps (reference
+limit_train_batches=steps_per_epoch, train.py:77) -> validation sweep with the
+epipolar / pose-AUC metrics -> checkpoint (every epoch, keep all). FAVOR
+projections are redrawn every ``favor_redraw_interval`` steps (reference
+utils/lightning_callbacks.py:10-14). Metrics/losses go to TensorBoard via
+tensorboardX when a log_dir is given; host logging is rank-0 only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from openglue_tpu.core.types import PairBatch
+from openglue_tpu.metrics import CameraPoseAUC, EpipolarDistanceMetric
+from openglue_tpu.train.checkpoint import save_train_state
+from openglue_tpu.train.state import MatcherTrainState
+from openglue_tpu.train.step import redraw_favor_projections
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    steps_per_epoch: int = 1000
+    max_epochs: int = 10
+    log_every_n_steps: int = 50
+    favor_redraw_interval: Optional[int] = None  # steps; None = never
+    checkpoint_dir: Optional[str] = None
+    log_dir: Optional[str] = None
+    eval_threshold: float = 5e-4
+    pose_auc_thresholds: tuple = (5.0, 10.0, 20.0)
+    ransac_thresh_px: float = 0.5
+    seed: int = 0
+
+
+def _is_main_host() -> bool:
+    return jax.process_index() == 0
+
+
+class MetricsLogger:
+    """TensorBoard writer (reference utils/train_utils.py:54-60), rank-0 only."""
+
+    def __init__(self, log_dir: Optional[str]):
+        self.writer = None
+        if log_dir and _is_main_host():
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir)
+            except ImportError:
+                pass
+
+    def log(self, tag_values: Dict[str, float], step: int) -> None:
+        if self.writer:
+            for tag, value in tag_values.items():
+                self.writer.add_scalar(tag, value, step)
+
+    def close(self) -> None:
+        if self.writer:
+            self.writer.close()
+
+
+def evaluate(
+    state: MatcherTrainState,
+    eval_step: Callable,
+    eval_batches: Iterable[PairBatch],
+    config: TrainLoopConfig,
+    shard_fn: Optional[Callable] = None,
+) -> Dict[str, float]:
+    """Validation sweep (reference validation_step, matching_module.py:107-131):
+    device-side match decode + epipolar counting, host-side RANSAC pose AUC."""
+    epipolar = EpipolarDistanceMetric(config.eval_threshold)
+    pose_auc = CameraPoseAUC(config.pose_auc_thresholds, config.ransac_thresh_px)
+    for batch in eval_batches:
+        if shard_fn is not None:
+            batch = shard_fn(batch)
+        out = eval_step(state, batch)
+        tf = batch.transformation
+        kpts0 = np.asarray(batch.side0.keypoints)
+        kpts1 = np.asarray(batch.side1.keypoints)
+        matches0 = np.asarray(out["matches0"])
+        detected = np.asarray(batch.side0.mask).sum(axis=1)
+        epipolar.update(
+            kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T, num_detected=detected
+        )
+        pose_auc.update(kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T)
+    return {**epipolar.compute(), **pose_auc.compute()}
+
+
+def fit(
+    state: MatcherTrainState,
+    train_step: Callable,
+    train_batches: Iterable,
+    config: TrainLoopConfig,
+    eval_step: Optional[Callable] = None,
+    eval_batches_fn: Optional[Callable[[], Iterable]] = None,
+    shard_fn: Optional[Callable] = None,
+    step_takes_rng: bool = False,
+) -> MatcherTrainState:
+    """Drive training. train_batches yields host batches (infinite ok);
+    shard_fn places them on the mesh. Returns the final state."""
+    logger = MetricsLogger(config.log_dir)
+    rng = jax.random.key(config.seed)
+    train_iter = iter(train_batches)
+
+    for epoch in range(config.max_epochs):
+        t_epoch = time.time()
+        for _ in range(config.steps_per_epoch):
+            step_idx = int(state.step)
+            if (
+                config.favor_redraw_interval
+                and step_idx > 0
+                and step_idx % config.favor_redraw_interval == 0
+            ):
+                state = redraw_favor_projections(state, rng)
+            batch = next(train_iter)
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            if step_takes_rng:
+                state, metrics = train_step(state, batch, rng)
+            else:
+                state, metrics = train_step(state, batch)
+            if step_idx % config.log_every_n_steps == 0:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                logger.log({f"train/{k}": v for k, v in host_metrics.items()}, step_idx)
+                if _is_main_host():
+                    print(
+                        f"epoch {epoch} step {step_idx}: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in host_metrics.items()),
+                        flush=True,
+                    )
+
+        if eval_step is not None and eval_batches_fn is not None:
+            eval_metrics = evaluate(state, eval_step, eval_batches_fn(), config, shard_fn)
+            logger.log({f"val/{k}": v for k, v in eval_metrics.items()}, int(state.step))
+            if _is_main_host():
+                print(
+                    f"epoch {epoch} val: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in eval_metrics.items()),
+                    flush=True,
+                )
+
+        if config.checkpoint_dir and _is_main_host():
+            save_train_state(config.checkpoint_dir, state)
+        if _is_main_host():
+            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s", flush=True)
+
+    logger.close()
+    return state

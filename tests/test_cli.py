@@ -1,0 +1,250 @@
+"""End-to-end CLI tests on generated fixtures: checkpoint roundtrip, cached
+training smoke, homography pretraining smoke, feature extraction + inference
+(the five BASELINE.json config shapes, miniaturized)."""
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+
+from tests.test_data import make_megadepth_fixture, TARGET_CACHED
+
+
+def write_yaml(path, data):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(yaml.safe_dump(data))
+
+
+SMALL_SUPERGLUE = {
+    "laf_to_sideinfo_method": "none",
+    "positional_encoding": {"hidden_layers_sizes": [16]},
+    "attention_gnn": {"num_stages": 1, "num_heads": 4, "attention": "softmax", "use_offset": False},
+    "dustbin_score_init": 1.0,
+    "otp": {"num_iters": 5, "reg": 1.0},
+    "residual": True,
+}
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train import LossConfig, create_train_state, make_train_step
+        from openglue_tpu.train.checkpoint import (
+            latest_step,
+            restore_train_state,
+            save_train_state,
+        )
+        from openglue_tpu.train.step import superglue_inputs
+
+        cfg = SuperGlueConfig(descriptor_dim=32, pe_hidden_layers_sizes=(16,), num_stages=1, otp_num_iters=4)
+        model = SuperGlue(cfg)
+        gen = SyntheticHomographyPairs(num_keypoints=32, descriptor_dim=32)
+        batch = gen.sample(jax.random.key(0), 2)
+        variables = model.init(jax.random.key(1), **superglue_inputs(batch))
+        state = create_train_state(model.apply, variables)
+        step = jax.jit(make_train_step(LossConfig(positive_threshold=3.0)))
+        for _ in range(3):
+            state, _ = step(state, batch)
+
+        ckpt_dir = tmp_path / "ckpts"
+        save_train_state(ckpt_dir, state)
+        assert latest_step(ckpt_dir) == 3
+
+        fresh = create_train_state(model.apply, variables)
+        restored = restore_train_state(ckpt_dir, fresh)
+        assert int(restored.step) == 3
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # resumed training continues bit-identically
+        s1, m1 = step(state, batch)
+        s2, m2 = step(restored, batch)
+        np.testing.assert_allclose(float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-6)
+
+    def test_weights_npz_roundtrip(self, tmp_path):
+        from openglue_tpu.train.checkpoint import load_weights, save_weights
+
+        tree = {"a": {"b": np.arange(6.0).reshape(2, 3)}, "c": np.ones(4)}
+        save_weights(tmp_path / "w.npz", tree)
+        out = load_weights(tmp_path / "w.npz", jax.tree_util.tree_map(np.zeros_like, tree))
+        np.testing.assert_array_equal(out["a"]["b"], tree["a"]["b"])
+
+
+@pytest.mark.slow
+class TestTrainCachedCLI:
+    def test_smoke(self, tmp_path, monkeypatch):
+        make_megadepth_fixture(tmp_path, pairs_per_scene=10)
+        # features cache config contract
+        feat_dir = tmp_path / "features_cache"
+        write_yaml(
+            feat_dir / "config.yaml",
+            {"name": "OPENCV_SIFT", "descriptor_dim": 32, "parameters": {}},
+        )
+        (tmp_path / "train_list.txt").write_text("scene_a\nscene_b\n")
+        (tmp_path / "val_list.txt").write_text("scene_a\n")
+        config = {
+            "data": {
+                "root_path": str(tmp_path),
+                "train_list_path": "train_list.txt",
+                "val_list_path": "val_list.txt",
+                "features_dir": "features_cache",
+                "max_keypoints": 64,
+                "batch_size": 8,
+                "dataloader_workers": 0,
+                "target_size": list(TARGET_CACHED),
+                "val_max_pairs_per_scene": 2,
+                "train_pairs_overlap": None,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "t", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 2, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 5,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+            },
+            "evaluation": {"epipolar_dist_threshold": 5.0e-4, "camera_auc_thresholds": [5, 10, 20],
+                           "camera_auc_ransac_inliers_threshold": 1.0},
+            "inference": {"match_threshold": 0.2},
+            "superglue": SMALL_SUPERGLUE,
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, config)
+
+        from openglue_tpu.cli import train_cached
+
+        state = train_cached.main(["--config", str(cfg_path)])
+        assert int(state.step) == 2
+        # experiment dir written with config snapshots + checkpoint
+        exp_dirs = list((tmp_path / "logs" / "t").iterdir())
+        assert len(exp_dirs) == 1
+        assert (exp_dirs[0] / "config.yaml").exists()
+        assert (exp_dirs[0] / "features_config.yaml").exists()
+        assert (exp_dirs[0] / "checkpoints").exists()
+
+
+@pytest.mark.slow
+class TestPretrainHomographyCLI:
+    def test_smoke(self, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        for i in range(3):
+            img = rng.integers(0, 255, (200, 260, 3), np.uint8)
+            cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+
+        config = {
+            "data": {
+                "root_path": str(img_dir), "batch_size": 8, "dataloader_workers": 0,
+                "target_size": [160, 120], "warp_offset": 20,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "p", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 2, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 3,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+                "augmentations": {"name": "weak_color_aug"}, "evaluation": False,
+                "finetune_features_extractor": False,
+            },
+            "features": {
+                "name": "SuperPointNet",
+                "parameters": {"max_keypoints": 64, "descriptor_dim": 32},
+                "weights": None,
+            },
+            "superglue": SMALL_SUPERGLUE,
+            "inference": {"match_threshold": 0.2},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, config)
+
+        from openglue_tpu.cli import pretrain_homography
+
+        state = pretrain_homography.main(["--config", str(cfg_path)])
+        assert int(state.step) == 2
+
+
+@pytest.mark.slow
+class TestExtractAndInference:
+    def test_extract_then_inference(self, tmp_path):
+        import cv2
+
+        # images with structure
+        rng = np.random.default_rng(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        base = np.zeros((240, 320), np.uint8)
+        for _ in range(80):
+            x, y = rng.integers(10, 310), rng.integers(10, 230)
+            cv2.circle(base, (int(x), int(y)), int(rng.integers(3, 9)), int(rng.integers(60, 255)), -1)
+        cv2.imwrite(str(img_dir / "a.png"), base)
+        shifted = np.roll(base, 6, axis=1)
+        cv2.imwrite(str(img_dir / "b.png"), shifted)
+
+        feat_cfg = tmp_path / "feat.yaml"
+        write_yaml(
+            feat_cfg,
+            {"name": "OPENCV_SIFT", "descriptor_dim": 128,
+             "parameters": {"max_keypoints": 256, "nms_diameter": 9, "rootsift": True}},
+        )
+
+        from openglue_tpu.cli import extract_features
+
+        extract_features.main([
+            "--features_config", str(feat_cfg),
+            "--data_dir", str(img_dir),
+            "--output_dir", str(tmp_path / "cache"),
+            "--target_size", "320", "240",
+        ])
+        out_dir = tmp_path / "cache" / "OPENCV_SIFT_320_240"
+        assert (out_dir / "config.yaml").exists()
+        assert (out_dir / "a_lafs.h5").exists() and (out_dir / "b_descriptors.h5").exists()
+
+        # build an experiment dir with an untrained matcher, then run inference
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train import create_train_state
+        from openglue_tpu.train.checkpoint import save_train_state
+        from openglue_tpu.train.step import superglue_inputs
+
+        exp = tmp_path / "exp"
+        exp.mkdir()
+        config = {
+            "superglue": SMALL_SUPERGLUE,
+            "inference": {"match_threshold": 0.0},
+        }
+        write_yaml(exp / "config.yaml", config)
+        write_yaml(
+            exp / "features_config.yaml",
+            {"name": "OPENCV_SIFT", "descriptor_dim": 128,
+             "parameters": {"max_keypoints": 256, "nms_diameter": 9, "rootsift": True}},
+        )
+        sg = SuperGlueConfig(
+            descriptor_dim=128, pe_hidden_layers_sizes=(16,), side_info_size=1,
+            num_stages=1, num_heads=4, otp_num_iters=5, residual=True,
+        )
+        model = SuperGlue(sg)
+        gen = SyntheticHomographyPairs(num_keypoints=16, descriptor_dim=128)
+        dummy = gen.sample(jax.random.key(0), 1)
+        variables = model.init(jax.random.key(0), **superglue_inputs(dummy))
+        state = create_train_state(model.apply, variables)
+        save_train_state(exp / "checkpoints", state, step=0)
+
+        from openglue_tpu.cli.inference import initialize_matcher, run_inference
+
+        matcher = initialize_matcher(exp, target_size=(320, 240))
+        result = run_inference(matcher, img_dir / "a.png", img_dir / "b.png", ransac=True)
+        assert result["keypoints0"].shape == result["keypoints1"].shape
+        # untrained matcher: only a handful of confident mutual matches
+        # survive, but the residual local-descriptor mix carries signal and
+        # MAGSAC keeps the geometrically consistent ones: same y, x shifted
+        assert len(result["keypoints0"]) >= 4
+        dx = result["keypoints1"][:, 0] - result["keypoints0"][:, 0]
+        dy = result["keypoints1"][:, 1] - result["keypoints0"][:, 1]
+        assert np.median(np.abs(dy)) < 3.0
+        assert abs(np.median(dx) - 6.0) < 3.0
