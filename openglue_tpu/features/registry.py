@@ -20,7 +20,12 @@ HOST_EXTRACTORS: Dict[str, Callable[..., Any]] = {}
 
 
 def _register():
+    from openglue_tpu.features.gftt_hardnet import (
+        GFTTAffNetHardNet,
+        GFTTAffNetHardNetConfig,
+    )
     from openglue_tpu.features.opencv_features import sift_create
+    from openglue_tpu.features.sift import SIFTFeature
     from openglue_tpu.features.superpoint import SuperPoint, SuperPointConfig
 
     def superpoint(**params):
@@ -29,16 +34,20 @@ def _register():
     def superpoint_bn(**params):
         return SuperPoint(SuperPointConfig(bn=True, **params))
 
+    def gftt_affnet_hardnet(**params):
+        return GFTTAffNetHardNet(GFTTAffNetHardNetConfig(**params))
+
     DEVICE_EXTRACTORS.update(
         {
             "SuperPointNet": superpoint,
             "SuperPointNetBn": superpoint_bn,
+            "SIFT": SIFTFeature,  # JAX DoG + (Root)SIFT (kornia SIFT in reference)
+            "GFTTAffNetHardNet": gftt_affnet_hardnet,
         }
     )
     HOST_EXTRACTORS.update(
         {
             "OPENCV_SIFT": sift_create,
-            "SIFT": sift_create,  # the reference's kornia SIFT; backed by cv2 here
         }
     )
 
