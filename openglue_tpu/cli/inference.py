@@ -221,6 +221,7 @@ def main(argv=None):
     parser.add_argument("--match_threshold", type=float, default=None)
     parser.add_argument("--no_ransac", action="store_true")
     parser.add_argument("--output", default=None, help="save matches to .npz")
+    parser.add_argument("--visualize", default=None, help="write a match image here")
     args = parser.parse_args(argv)
 
     matcher = initialize_matcher(
@@ -236,6 +237,27 @@ def main(argv=None):
             confidence=result["confidence"],
         )
         print(f"saved to {args.output}")
+    if args.visualize:
+        import cv2
+
+        from openglue_tpu.data.io import aspect_preserving_resize
+        from openglue_tpu.visualization import draw_matches
+
+        img0 = aspect_preserving_resize(
+            cv2.cvtColor(cv2.imread(str(args.image0)), cv2.COLOR_BGR2GRAY),
+            matcher.target_size,
+        )
+        img1 = aspect_preserving_resize(
+            cv2.cvtColor(cv2.imread(str(args.image1)), cv2.COLOR_BGR2GRAY),
+            matcher.target_size,
+        )
+        draw_matches(
+            img0, img1,
+            result["keypoints0"], result["keypoints1"], result["confidence"],
+            lafs0=result["lafs0"], lafs1=result["lafs1"],
+            output_path=args.visualize,
+        )
+        print(f"visualization saved to {args.visualize}")
 
 
 if __name__ == "__main__":

@@ -45,9 +45,12 @@ def _register():
             "GFTTAffNetHardNet": gftt_affnet_hardnet,
         }
     )
+    from openglue_tpu.features.dog_affnet_hardnet import dog_affnet_hardnet_create
+
     HOST_EXTRACTORS.update(
         {
             "OPENCV_SIFT": sift_create,
+            "OPENCVDoGAffNetHardNet": dog_affnet_hardnet_create,
         }
     )
 

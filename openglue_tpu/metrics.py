@@ -76,11 +76,33 @@ class EpipolarDistanceMetric:
             (correct / np.maximum(num_detected, 1)).tolist()
         )
 
+    def sync(self) -> None:
+        """Gather per-pair states across hosts (replaces torchmetrics
+        dist_sync cat-reduce, reference metrics.py:12-15). No-op single-host."""
+        self.precisions = _allgather_list(self.precisions)
+        self.matching_scores = _allgather_list(self.matching_scores)
+
     def compute(self) -> Dict[str, float]:
         return {
             f"Precision@{self.threshold}": float(np.mean(self.precisions or [0.0])),
             f"Matching Score@{self.threshold}": float(np.mean(self.matching_scores or [0.0])),
         }
+
+
+def _allgather_list(values: List[float]) -> List[float]:
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(values, dtype=np.float64)
+    # pad to a common length so the gather is rectangular
+    n = np.asarray([len(arr)])
+    max_n = int(multihost_utils.process_allgather(n).max())
+    padded = np.full((max_n,), np.nan)
+    padded[: len(arr)] = arr
+    gathered = multihost_utils.process_allgather(padded)  # [hosts, max_n]
+    flat = gathered.reshape(-1)
+    return flat[~np.isnan(flat)].tolist()
 
 
 def rotation_angle_deg(R_est: np.ndarray, R_gt: np.ndarray) -> float:
@@ -164,6 +186,10 @@ class CameraPoseAUC:
                 )
                 best = err if best is None else min(best, err)
             self.pose_errors.append(best if best is not None else 180.0)
+
+    def sync(self) -> None:
+        """Gather pose errors across hosts; no-op single-host."""
+        self.pose_errors = _allgather_list(self.pose_errors)
 
     def compute(self) -> Dict[str, float]:
         """Trapezoid AUC on the error-recall curve (reference metrics.py:125-141)."""

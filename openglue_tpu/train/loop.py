@@ -90,6 +90,8 @@ def evaluate(
             kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T, num_detected=detected
         )
         pose_auc.update(kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T)
+    epipolar.sync()
+    pose_auc.sync()
     return {**epipolar.compute(), **pose_auc.compute()}
 
 

@@ -1,0 +1,100 @@
+"""Tests for the DoG-AffNet-HardNet hybrid, visualization, metric sync no-op,
+and bf16 matcher training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def checkerboard(h=160, w=200, cell=20):
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = (((ys // cell) + (xs // cell)) % 2 * 255).astype(np.uint8)
+    rng = np.random.default_rng(0)
+    return np.clip(img + rng.normal(0, 8, img.shape), 0, 255).astype(np.uint8)
+
+
+class TestDoGAffNetHardNet:
+    def test_detect_and_compute_contract(self):
+        from openglue_tpu.features.dog_affnet_hardnet import DoGAffNetHardNet
+
+        extractor = DoGAffNetHardNet(max_keypoints=64)
+        lafs, scores, desc, mask = extractor.detect_and_compute(checkerboard())
+        assert lafs.shape == (64, 2, 3) and desc.shape == (64, 128)
+        assert mask.sum() > 10
+        np.testing.assert_allclose(
+            np.linalg.norm(desc[mask], axis=1), 1.0, atol=1e-4
+        )
+        # AffNet preserves |det| of the original LAF; OriNet rotates -> the
+        # LAF centers must be untouched
+        assert (np.abs(lafs[mask][:, :, 2]).max()) < max(checkerboard().shape)
+
+    def test_registered(self):
+        from openglue_tpu.features.registry import get_feature_extractor, is_device_extractor
+
+        assert not is_device_extractor("OPENCVDoGAffNetHardNet")
+        assert get_feature_extractor("OPENCVDoGAffNetHardNet") is not None
+
+
+class TestVisualization:
+    def test_draw_matches_canvas(self, tmp_path):
+        from openglue_tpu.visualization import draw_matches
+
+        img0 = checkerboard(100, 120)
+        img1 = checkerboard(100, 120)
+        kpts0 = np.asarray([[10.0, 20], [50, 60], [100, 80]])
+        kpts1 = kpts0 + [5, 0]
+        lafs = np.tile(np.asarray([[8.0, 0, 0], [0, 8.0, 0]]), (3, 1, 1))
+        lafs[:, :, 2] = kpts0
+        out = draw_matches(
+            img0, img1, kpts0, kpts1, np.asarray([0.9, 0.5, 0.1]),
+            lafs0=lafs, output_path=tmp_path / "m.png",
+        )
+        assert out.shape == (100, 240, 3)
+        assert (tmp_path / "m.png").exists()
+        # lines drawn -> canvas differs from plain concatenation
+        import cv2
+
+        plain = np.concatenate(
+            [cv2.cvtColor(img0, cv2.COLOR_GRAY2BGR), cv2.cvtColor(img1, cv2.COLOR_GRAY2BGR)],
+            axis=1,
+        )
+        assert (out != plain).any()
+
+
+class TestMetricSync:
+    def test_single_host_noop(self):
+        from openglue_tpu.metrics import EpipolarDistanceMetric, _allgather_list
+
+        assert _allgather_list([1.0, 2.0]) == [1.0, 2.0]
+        m = EpipolarDistanceMetric()
+        m.precisions = [0.5]
+        m.matching_scores = [0.25]
+        m.sync()
+        assert m.compute()["Precision@0.0005"] == 0.5
+
+
+class TestBf16Training:
+    def test_bf16_matcher_train_step(self):
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train import LossConfig, create_train_state, make_train_step
+        from openglue_tpu.train.step import superglue_inputs
+
+        cfg = SuperGlueConfig(
+            descriptor_dim=64, pe_hidden_layers_sizes=(32,), num_stages=2,
+            num_heads=4, otp_num_iters=8, residual=True, dtype=jnp.bfloat16,
+        )
+        model = SuperGlue(cfg)
+        gen = SyntheticHomographyPairs(num_keypoints=64, descriptor_dim=64)
+        batch = gen.sample(jax.random.key(0), 2)
+        variables = model.init(jax.random.key(1), **superglue_inputs(batch))
+        # params stay f32 under mixed precision
+        assert jax.tree_util.tree_leaves(variables["params"])[0].dtype == jnp.float32
+        state = create_train_state(model.apply, variables, learning_rate=1e-3)
+        step = jax.jit(make_train_step(LossConfig(positive_threshold=3.0)))
+        state, m0 = step(state, batch)
+        for _ in range(10):
+            state, metrics = step(state, batch)
+        assert float(metrics["total_loss"]) < float(m0["total_loss"])
+        assert np.isfinite(float(metrics["total_loss"]))
