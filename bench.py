@@ -11,8 +11,9 @@ loop runs device-side inside a single jit (lax.scan over pre-generated
 batches) and is timed by fetching a scalar; fixed dispatch overhead is removed
 by differencing two iteration counts.
 
-The reference repo publishes no benchmark numbers (BASELINE.md), so
-``vs_baseline`` is 1.0 by definition until a measured torch baseline exists.
+``vs_baseline`` is the ratio to the measured PyTorch reference on this host's
+CPU (1.7 pairs/s at the same N=1024 flagship config, bench/torch_reference.py;
+the reference repo publishes no numbers of its own — BASELINE.md).
 
 Usage: python bench.py [--batch 16] [--kpts 1024] [--f32] [--pallas]
 """
@@ -96,13 +97,21 @@ def main():
     per_iter = (t_high - t_low) / (args.iters_high - args.iters_low)
     pairs_per_sec = args.batch / per_iter
 
+    # measured torch-reference baseline on this host's CPU at N=1024
+    # (bench/torch_reference.py; see BASELINE.md)
+    TORCH_CPU_BASELINE_PAIRS_PER_S = 1.7
+    vs_baseline = (
+        round(pairs_per_sec / TORCH_CPU_BASELINE_PAIRS_PER_S, 2)
+        if args.kpts == 1024
+        else 1.0
+    )
     print(
         json.dumps(
             {
                 "metric": "image_pairs_matched_per_sec_per_chip",
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": vs_baseline,
                 "detail": {
                     "device": str(jax.devices()[0]),
                     "batch": args.batch,
@@ -111,6 +120,7 @@ def main():
                     "attention": args.attention,
                     "pallas": bool(args.pallas),
                     "ms_per_batch": round(1000 * per_iter, 3),
+                    "baseline": "torch reference CPU same host, 1.7 pairs/s @N=1024",
                 },
             }
         )

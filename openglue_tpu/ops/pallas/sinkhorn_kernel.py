@@ -11,9 +11,14 @@ Shapes are padded to TPU tiles with -1e9 so the logsumexp over padded lanes is
 exact; the dustbin row/column marginals and the mask semantics are identical
 to the XLA path.
 
-VMEM budget: the padded matrix must fit twice (in + out) plus scratch; for
-N = M = 1024 that is ~9.6 MB — fine on one v5e/v5p core. Larger graphs
-(N = 2048 eval) fall back to the XLA path automatically via ``fits_vmem``.
+Two variants, dispatched by ``fits_vmem``:
+  * in-VMEM (N <= ~1500): the whole score block lives in VMEM; the kernel
+    emits only the potentials so a single double-buffered input block is the
+    entire footprint;
+  * HBM-streaming (N = 2048 eval graphs and beyond): the score block stays in
+    HBM and every iteration streams row stripes through two VMEM buffers,
+    fusing the row update with an online column logsumexp — one HBM read of S
+    per iteration vs two read+write passes for XLA.
 """
 
 from __future__ import annotations
@@ -83,11 +88,14 @@ def log_sinkhorn(
     reg: float = 1.0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Drop-in for ops.sinkhorn.log_sinkhorn. M: [B, R, C]."""
+    """Drop-in for ops.sinkhorn.log_sinkhorn. M: [B, R, C]. Dispatches to the
+    HBM-streaming blocked kernel when the matrix exceeds VMEM."""
     batch, rows, cols = M.shape
     rp, cp = _round_up(rows, 8), _round_up(cols, 128)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    if not fits_vmem(rows, cols):
+        return _log_sinkhorn_blocked(log_a, log_b, M, num_iters, reg, interpret)
 
     M32 = (M / reg).astype(jnp.float32)
     M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
@@ -127,6 +135,148 @@ def log_sinkhorn(
     return log_P.astype(M.dtype)
 
 
+def _blocked_sinkhorn_kernel(
+    s_hbm, log_a_ref, log_b_ref, out_hbm, u_ref, v_ref,
+    stripe, sems, *, num_iters: int, r_blk: int,
+):
+    """Large-graph variant: the [Rp, Cp] score block stays in HBM; every
+    iteration streams row stripes through two VMEM buffers (double-buffered
+    DMA), computing the row update and the online column logsumexp in the
+    same pass — ONE HBM read of S per iteration (the XLA path reads and
+    writes it twice per iteration).
+
+    Grid step = one batch element. s_hbm/out_hbm: [1, Rp, Cp] in ANY/HBM;
+    log_a_ref: [1, Rp, 1] VMEM (rows; the LAST row is the dustbin row
+    marginal); log_b_ref: [1, 1, Cp] VMEM. The dustbin ROW is stored as the
+    final row stripe like any other (its value is constant, marginal big).
+    u_ref: [Rp, 1] VMEM scratch; v_ref: [1, Cp] VMEM scratch.
+    """
+    rp = u_ref.shape[0]
+    cp = v_ref.shape[1]
+    n_blocks = rp // r_blk
+
+    def dma_in(slot, blk):
+        return pltpu.make_async_copy(
+            s_hbm.at[0, pl.ds(blk * r_blk, r_blk), :], stripe.at[slot], sems.at[slot]
+        )
+
+    v_ref[...] = jnp.zeros_like(v_ref)
+
+    def iteration(it, _):
+        # online column-LSE accumulators
+        def pass_over_stripes(carry, blk, slot):
+            m_col, s_col = carry
+            dma_in(slot, blk).wait()
+            nxt = blk + 1
+
+            @pl.when(nxt < n_blocks)
+            def _():
+                dma_in(1 - slot, nxt).start()
+
+            S_blk = stripe[slot]  # [r_blk, cp]
+            x = S_blk + v_ref[...]
+            row_max = jnp.max(x, axis=1, keepdims=True)
+            row_lse = row_max + jnp.log(
+                jnp.sum(jnp.exp(x - row_max), axis=1, keepdims=True)
+            )
+            u_blk = log_a_ref[0, pl.ds(blk * r_blk, r_blk), :] - row_lse
+            u_ref[pl.ds(blk * r_blk, r_blk), :] = u_blk
+
+            y = S_blk + u_blk  # [r_blk, cp]
+            blk_max = jnp.max(y, axis=0, keepdims=True)
+            new_max = jnp.maximum(m_col, blk_max)
+            s_col = s_col * jnp.exp(m_col - new_max) + jnp.sum(
+                jnp.exp(y - new_max), axis=0, keepdims=True
+            )
+            return new_max, s_col
+
+        dma_in(0, 0).start()
+
+        def body(blk, carry):
+            return pass_over_stripes(carry, blk, blk % 2)
+
+        m0 = jnp.full((1, cp), _NEG_INF, jnp.float32)
+        s0 = jnp.zeros((1, cp), jnp.float32)
+        m_col, s_col = jax.lax.fori_loop(0, n_blocks, body, (m0, s0))
+        v_ref[...] = log_b_ref[0] - (m_col + jnp.log(s_col))
+        return 0
+
+    jax.lax.fori_loop(0, num_iters, iteration, 0)
+
+    # output pass: out = S + u + v, streamed
+    def out_pass(blk, _):
+        slot = blk % 2
+        dma_in(slot, blk).wait()
+        nxt = blk + 1
+
+        @pl.when(nxt < n_blocks)
+        def _():
+            dma_in(1 - slot, nxt).start()
+
+        stripe[slot] = (
+            stripe[slot] + u_ref[pl.ds(blk * r_blk, r_blk), :] + v_ref[...]
+        )
+        out_dma = pltpu.make_async_copy(
+            stripe.at[slot], out_hbm.at[0, pl.ds(blk * r_blk, r_blk), :], sems.at[2]
+        )
+        out_dma.start()
+        out_dma.wait()
+        return 0
+
+    dma_in(0, 0).start()
+    jax.lax.fori_loop(0, n_blocks, out_pass, 0)
+
+
+def _log_sinkhorn_blocked(
+    log_a: jnp.ndarray,
+    log_b: jnp.ndarray,
+    M: jnp.ndarray,
+    num_iters: int,
+    reg: float,
+    interpret: bool,
+    r_blk: int = 256,
+) -> jnp.ndarray:
+    """Blocked drop-in for log_sinkhorn for matrices beyond VMEM."""
+    batch, rows, cols = M.shape
+    rp = _round_up(rows, r_blk)
+    cp = _round_up(cols, 128)
+
+    M32 = (M / reg).astype(jnp.float32)
+    M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
+    M_pad = M_pad.at[:, :rows, :cols].set(M32)
+    la = jnp.full((batch, rp, 1), _NEG_INF, jnp.float32)
+    la = la.at[:, :rows, 0].set(log_a.astype(jnp.float32))
+    lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
+    lb = lb.at[:, 0, :cols].set(log_b.astype(jnp.float32))
+
+    kernel = functools.partial(_blocked_sinkhorn_kernel, num_iters=num_iters, r_blk=r_blk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((batch, rp, cp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rp, 1), jnp.float32),
+            pltpu.VMEM((1, cp), jnp.float32),
+            pltpu.VMEM((2, r_blk, cp), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * batch * num_iters * rp * cp,
+            bytes_accessed=batch * rp * cp * 4 * (num_iters + 2),
+            transcendentals=2 * batch * num_iters * rp * cp,
+        ),
+    )(M_pad, la, lb)
+    return out[:, :rows, :cols].astype(M.dtype)
+
+
 def log_optimal_transport(
     scores: jnp.ndarray,
     dustbin_score: jnp.ndarray,
@@ -137,18 +287,10 @@ def log_optimal_transport(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in for ops.sinkhorn.log_optimal_transport with the Sinkhorn loop
-    fused on-chip. Falls back to the XLA path when the matrix exceeds VMEM.
+    fused on-chip. Matrices beyond VMEM stream through the blocked kernel.
 
-    Differentiable via implicit recomputation: gradients flow through the
-    same padded logsumexp graph in the XLA fallback — for the kernel path we
-    wrap with jax.custom_vjp replaying the XLA implementation backward.
+    Differentiable: jax.custom_vjp replaying the XLA implementation backward.
     """
-    batch, m, n = scores.shape
-    if not fits_vmem(m + 1, n + 1):
-        return sinkhorn_ref.log_optimal_transport(
-            scores, dustbin_score, num_iters, reg, mask0, mask1
-        )
-
     # custom_vjp over (scores, dustbin) only; masks and statics are closed
     # over (bool arrays cannot carry cotangents). Created per call — traced
     # once per enclosing jit compilation, so no runtime overhead.

@@ -65,11 +65,16 @@ def device_timeit(
                 jnp.float32
             )
             out = fn(perturb(x, s))
+            # include EVERY numeric leaf — dropping (e.g. integer) outputs can
+            # leave the loop body without live outputs and XLA deletes it
             leaves = [
                 jnp.sum(l).astype(jnp.float32)
                 for l in jax.tree_util.tree_leaves(out)
-                if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)
+                if jnp.issubdtype(jnp.asarray(l).dtype, jnp.number)
+                or jnp.asarray(l).dtype == jnp.bool_
             ]
+            if not leaves:
+                raise ValueError("fn produced no numeric outputs to anchor timing")
             return acc + sum(leaves)
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))

@@ -98,10 +98,28 @@ class TestSinkhornKernel:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
-    def test_large_graph_falls_back_to_xla(self):
-        # N=2048 exceeds the VMEM budget; must route to the reference path.
+    def test_vmem_dispatch_boundary(self):
+        # N=2048 exceeds VMEM -> blocked streaming kernel; N=1024 fits.
         assert not sinkhorn_kernel.fits_vmem(2049, 2049)
         assert sinkhorn_kernel.fits_vmem(1025, 1025)
+
+    def test_blocked_kernel_matches_reference(self):
+        # exercise the HBM-streaming variant directly at a small size
+        scores = rand(0, 2, 60, 70)
+        dustbin = jnp.asarray(1.1)
+        ref = sink_ref.log_optimal_transport(scores, dustbin, num_iters=12)
+
+        S_aug = sink_ref.augment_scores(scores, dustbin)
+        n, m = 60, 70
+        norm = -jnp.log(jnp.asarray(n + m, jnp.float32))
+        log_a = jnp.full((n + 1,), norm).at[-1].add(jnp.log(jnp.asarray(m, jnp.float32)))
+        log_b = jnp.full((m + 1,), norm).at[-1].add(jnp.log(jnp.asarray(n, jnp.float32)))
+        log_a = jnp.broadcast_to(log_a, (2, n + 1))
+        log_b = jnp.broadcast_to(log_b, (2, m + 1))
+        out = sinkhorn_kernel._log_sinkhorn_blocked(
+            log_a, log_b, S_aug, num_iters=12, reg=1.0, interpret=True, r_blk=16
+        ) - norm
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 class TestPallasModelPath:
