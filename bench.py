@@ -6,10 +6,10 @@ config/config.yaml:42-55, config/config_cached.yaml:8) in inference mode and
 prints ONE JSON line.
 
 Methodology: the per-call dispatch to the TPU behind the axon tunnel costs
-~40 ms and block_until_ready does not actually synchronize, so the matching
-loop runs device-side inside a single jit (lax.scan over pre-generated
-batches) and is timed by fetching a scalar; fixed dispatch overhead is removed
-by differencing two iteration counts.
+~40 ms and block_until_ready does not actually synchronize, so timing runs the
+matcher in a device-side fori_loop inside one jit with per-iteration input
+perturbation, fetches a scalar to force sync, and differences two iteration
+counts (openglue_tpu.profiling.device_timeit).
 
 ``vs_baseline`` is the ratio to the measured PyTorch reference on this host's
 CPU (1.7 pairs/s at the same N=1024 flagship config, bench/torch_reference.py;
@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -60,41 +59,26 @@ def main():
     model = SuperGlue(cfg)
     gen = SyntheticHomographyPairs(num_keypoints=args.kpts, descriptor_dim=256)
     batch = gen.sample(jax.random.key(0), args.batch)
-    variables = model.init(jax.random.key(1), **superglue_inputs(batch, train=False))
+    # jitted init: eager init dispatches per-op over the tunnel (minutes)
+    init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b, train=False)))
+    variables = init(jax.random.key(1), batch)
+    jax.block_until_ready(variables)
 
-    def match_once(variables, batch):
-        out = model.apply(variables, **superglue_inputs(batch, train=False))
-        matches = decode_matches(
-            out["scores"], mask0=batch.side0.mask, mask1=batch.side1.mask
+    from openglue_tpu.profiling import device_timeit
+
+    def run(b):
+        out = model.apply(variables, **superglue_inputs(b, train=False))
+        return decode_matches(
+            out["scores"], mask0=b.side0.mask, mask1=b.side1.mask
         )["matches0"]
-        return jnp.sum(matches)
 
-    @jax.jit
-    def loop(variables, batch, rngs):
-        # Each iteration perturbs descriptors from a fresh key so no two
-        # iterations are identical, then matches; serialized via the carry.
-        def body(acc, rng):
-            noise = 1e-3 * jax.random.normal(
-                rng, batch.side0.descriptors.shape, batch.side0.descriptors.dtype
-            )
-            b = batch.replace(
-                side0=batch.side0.replace(descriptors=batch.side0.descriptors + noise)
-            )
-            return acc + match_once(variables, b), None
+    def perturb(b, s):
+        return b.replace(side0=b.side0.replace(descriptors=b.side0.descriptors * s))
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), rngs)
-        return acc
-
-    def timed(n_iters: int) -> float:
-        rngs = jax.random.split(jax.random.key(42), n_iters)
-        float(loop(variables, batch, rngs))  # compile + warm
-        start = time.perf_counter()
-        float(loop(variables, batch, rngs))
-        return time.perf_counter() - start
-
-    t_low = timed(args.iters_low)
-    t_high = timed(args.iters_high)
-    per_iter = (t_high - t_low) / (args.iters_high - args.iters_low)
+    per_iter = device_timeit(
+        run, batch, iters_low=args.iters_low, iters_high=args.iters_high,
+        perturb=perturb,
+    )
     pairs_per_sec = args.batch / per_iter
 
     # measured torch-reference baseline on this host's CPU at N=1024
