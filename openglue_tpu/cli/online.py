@@ -125,11 +125,25 @@ def run_online_training(
     train_step = jax.jit(step, in_shardings=(repl, data, repl), out_shardings=(repl, repl))
 
     loop_cfg = common.loop_config_from(config, log_dir)
+    eval_step = None
+    evaluate_fn = None
+    if val_loader_fn is not None:
+        from openglue_tpu.train.loop import evaluate_online
+        from openglue_tpu.train.step import make_online_eval_step
+
+        eval_step = jax.jit(
+            make_online_eval_step(float(config.get("inference.match_threshold", 0.2)))
+        )
+        evaluate_fn = evaluate_online
+
     state = fit(
         state,
         lambda s, b, r=jax.random.key(loop_cfg.seed): train_step(s, b, r),
         train_loader,
         loop_cfg,
+        eval_step=eval_step,
+        eval_batches_fn=val_loader_fn,
         shard_fn=lambda b: shard_batch(b, mesh),
+        evaluate_fn=evaluate_fn,
     )
     return state, model, log_dir

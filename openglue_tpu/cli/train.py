@@ -62,8 +62,32 @@ def main(argv=None):
         sampler=iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
         num_workers=int(data.get("dataloader_workers", 2)),
     )
+
+    from openglue_tpu.data import ShardedSequentialSampler
+
+    val_ds = MegaDepthPairsDataset(
+        root,
+        read_scene_list(data["val_list_path"]),
+        target_size=tuple(data.get("target_size", (960, 720))),
+        random_crop=False,
+        max_pairs_per_scene=data.get("val_max_pairs_per_scene"),
+    )
+    val_loader_fn = (
+        (
+            lambda: DataLoader(
+                val_ds,
+                batch_size=stop - start,
+                collate_fn=collate_image_pairs,
+                sampler=iter(ShardedSequentialSampler(len(val_ds))),
+                num_workers=int(data.get("dataloader_workers", 2)),
+            )
+        )
+        if len(val_ds)
+        else None
+    )
     state, model, log_dir = run_online_training(
-        config, loader, None, features_config=features_config, checkpoint=args.checkpoint
+        config, loader, val_loader_fn,
+        features_config=features_config, checkpoint=args.checkpoint,
     )
     return state
 

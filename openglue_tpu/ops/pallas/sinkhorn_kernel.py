@@ -145,7 +145,9 @@ def _blocked_sinkhorn_kernel(
     same pass — ONE HBM read of S per iteration (the XLA path reads and
     writes it twice per iteration).
 
-    Grid step = one batch element. s_hbm/out_hbm: [1, Rp, Cp] in ANY/HBM;
+    Grid step = one batch element (ANY-space refs span the FULL array — TPU
+    lowering requires trivial index maps for ANY — and are indexed by
+    pl.program_id). s_hbm/out_hbm: [B, Rp, Cp] in ANY/HBM;
     log_a_ref: [1, Rp, 1] VMEM (rows; the LAST row is the dustbin row
     marginal); log_b_ref: [1, 1, Cp] VMEM. The dustbin ROW is stored as the
     final row stripe like any other (its value is constant, marginal big).
@@ -154,10 +156,11 @@ def _blocked_sinkhorn_kernel(
     rp = u_ref.shape[0]
     cp = v_ref.shape[1]
     n_blocks = rp // r_blk
+    b = pl.program_id(0)
 
     def dma_in(slot, blk):
         return pltpu.make_async_copy(
-            s_hbm.at[0, pl.ds(blk * r_blk, r_blk), :], stripe.at[slot], sems.at[slot]
+            s_hbm.at[b, pl.ds(blk * r_blk, r_blk), :], stripe.at[slot], sems.at[slot]
         )
 
     v_ref[...] = jnp.zeros_like(v_ref)
@@ -217,7 +220,7 @@ def _blocked_sinkhorn_kernel(
             stripe[slot] + u_ref[pl.ds(blk * r_blk, r_blk), :] + v_ref[...]
         )
         out_dma = pltpu.make_async_copy(
-            stripe.at[slot], out_hbm.at[0, pl.ds(blk * r_blk, r_blk), :], sems.at[2]
+            stripe.at[slot], out_hbm.at[b, pl.ds(blk * r_blk, r_blk), :], sems.at[2]
         )
         out_dma.start()
         out_dma.wait()
@@ -254,11 +257,11 @@ def _log_sinkhorn_blocked(
         kernel,
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # full array; indexed by program_id
             pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((batch, rp, cp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rp, 1), jnp.float32),

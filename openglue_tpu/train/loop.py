@@ -95,6 +95,38 @@ def evaluate(
     return {**epipolar.compute(), **pose_auc.compute()}
 
 
+def evaluate_online(
+    state: MatcherTrainState,
+    eval_step: Callable,
+    eval_batches: Iterable,
+    config: TrainLoopConfig,
+    shard_fn: Optional[Callable] = None,
+) -> Dict[str, float]:
+    """Validation for the ONLINE path (image batches; keypoints come from the
+    eval step's extraction). Pose metrics require a 3d_reprojection
+    transformation with K/R/T."""
+    epipolar = EpipolarDistanceMetric(config.eval_threshold)
+    pose_auc = CameraPoseAUC(config.pose_auc_thresholds, config.ransac_thresh_px)
+    for batch in eval_batches:
+        if shard_fn is not None:
+            batch = shard_fn(batch)
+        out = eval_step(state, batch)
+        tf = batch["transformation"]
+        if getattr(tf, "kind", None) != "3d_reprojection":
+            continue
+        kpts0 = np.asarray(out["keypoints0"])
+        kpts1 = np.asarray(out["keypoints1"])
+        matches0 = np.asarray(out["matches0"])
+        detected = np.asarray(out["mask0"]).sum(axis=1)
+        epipolar.update(
+            kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T, num_detected=detected
+        )
+        pose_auc.update(kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T)
+    epipolar.sync()
+    pose_auc.sync()
+    return {**epipolar.compute(), **pose_auc.compute()}
+
+
 def fit(
     state: MatcherTrainState,
     train_step: Callable,
@@ -104,6 +136,7 @@ def fit(
     eval_batches_fn: Optional[Callable[[], Iterable]] = None,
     shard_fn: Optional[Callable] = None,
     step_takes_rng: bool = False,
+    evaluate_fn: Callable = None,
 ) -> MatcherTrainState:
     """Drive training. train_batches yields host batches (infinite ok);
     shard_fn places them on the mesh. Returns the final state."""
@@ -139,7 +172,8 @@ def fit(
                     )
 
         if eval_step is not None and eval_batches_fn is not None:
-            eval_metrics = evaluate(state, eval_step, eval_batches_fn(), config, shard_fn)
+            run_eval = evaluate_fn or evaluate
+            eval_metrics = run_eval(state, eval_step, eval_batches_fn(), config, shard_fn)
             logger.log({f"val/{k}": v for k, v in eval_metrics.items()}, int(state.step))
             if _is_main_host():
                 print(

@@ -196,6 +196,31 @@ def make_online_train_step(
     return train_step
 
 
+def make_online_eval_step(match_threshold: float = 0.2):
+    """Eval step for the ONLINE path: images -> extraction -> matching ->
+    decode (reference validation_step with online features). Returns the
+    decoded matches plus the extracted keypoint sets (the metrics need the
+    keypoint coordinates)."""
+
+    def eval_step(state: MatcherTrainState, batch):
+        variables = {"params": state.params, **state.model_state}
+        pred, pair = state.apply_fn(
+            variables, batch["image0"], batch["image1"], train=False
+        )
+        matches = decode_matches(
+            pred["scores"],
+            match_threshold=match_threshold,
+            mask0=pair.side0.mask,
+            mask1=pair.side1.mask,
+        )
+        matches["keypoints0"] = pair.side0.keypoints
+        matches["keypoints1"] = pair.side1.keypoints
+        matches["mask0"] = pair.side0.mask
+        return matches
+
+    return eval_step
+
+
 def redraw_favor_projections(
     state: MatcherTrainState, rng: jax.Array
 ) -> MatcherTrainState:
