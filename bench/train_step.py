@@ -1,0 +1,73 @@
+"""Training-throughput benchmark: full jitted train step (GT generation +
+forward + backward + Adam) at the cached-flagship config.
+
+Usage: python -m bench.train_step [--batch 12] [--kpts 1024] [--f32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+from openglue_tpu.profiling import device_timeit
+from openglue_tpu.train import LossConfig, create_train_state, make_train_step
+from openglue_tpu.train.step import superglue_inputs
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=12)
+    parser.add_argument("--kpts", type=int, default=1024)
+    parser.add_argument("--f32", action="store_true")
+    parser.add_argument("--pallas", action="store_true")
+    args = parser.parse_args()
+
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    cfg = SuperGlueConfig(
+        descriptor_dim=256, pe_hidden_layers_sizes=(32, 64, 128), num_stages=9,
+        num_heads=4, otp_num_iters=20, residual=True, dtype=dtype,
+        use_pallas=args.pallas,
+    )
+    model = SuperGlue(cfg)
+    gen = SyntheticHomographyPairs(num_keypoints=args.kpts, descriptor_dim=256)
+    batch = gen.sample(jax.random.key(0), args.batch)
+    init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b, train=True)))
+    variables = init(jax.random.key(1), batch)
+    jax.block_until_ready(variables)
+    state = create_train_state(model.apply, variables, learning_rate=1e-4)
+    step = make_train_step(LossConfig(positive_threshold=2.0, negative_threshold=7.0))
+
+    def run(b):
+        new_state, metrics = step(state, b)
+        return metrics["total_loss"]
+
+    def perturb(b, s):
+        return b.replace(side0=b.side0.replace(descriptors=b.side0.descriptors * s))
+
+    seconds = device_timeit(run, batch, perturb=perturb)
+    print(
+        json.dumps(
+            {
+                "metric": "train_pairs_per_sec_per_chip",
+                "value": round(args.batch / seconds, 2),
+                "unit": "pairs/s",
+                "detail": {
+                    "device": str(jax.devices()[0]),
+                    "batch": args.batch,
+                    "kpts": args.kpts,
+                    "dtype": "float32" if args.f32 else "bfloat16",
+                    "pallas": bool(args.pallas),
+                    "ms_per_step": round(seconds * 1e3, 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

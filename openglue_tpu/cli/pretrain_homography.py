@@ -54,8 +54,29 @@ def main(argv=None):
         sampler=infinite_indices(),
         num_workers=int(data.get("dataloader_workers", 2)),
     )
+
+    # Optional homography-precision validation (the reference disables eval in
+    # pretraining — 'evaluation: False'; enable with train.evaluation: true)
+    val_loader_fn = None
+    if config.get("train.evaluation", False):
+        val_ds = HomographyPairsDataset(
+            data["root_path"],
+            target_size=tuple(data.get("target_size", (960, 720))),
+            max_corner_offset=int(data.get("warp_offset", 256)),
+            color_augmentation=False,
+            seed=999,
+        )
+        n_val = min(len(val_ds), int(data.get("val_pairs", 32)))
+        val_loader_fn = lambda: DataLoader(
+            val_ds,
+            batch_size=stop - start,
+            collate_fn=collate_image_pairs,
+            sampler=iter([i % len(val_ds) for i in range(n_val)]),
+            num_workers=0,
+        )
+
     state, model, log_dir = run_online_training(
-        config, loader, None, checkpoint=args.checkpoint
+        config, loader, val_loader_fn, checkpoint=args.checkpoint
     )
     return state
 

@@ -105,6 +105,59 @@ def _allgather_list(values: List[float]) -> List[float]:
     return flat[~np.isnan(flat)].tolist()
 
 
+@jax.jit
+def _homography_counts(kpts0, kpts1, matches0, H, threshold: float):
+    valid = matches0 >= 0
+    cols = jnp.clip(matches0, 0, kpts1.shape[1] - 1)
+    mkpts1 = jnp.take_along_axis(kpts1, cols[..., None], axis=1)
+    ones = jnp.ones((*kpts0.shape[:-1], 1), kpts0.dtype)
+    warped = jnp.einsum("bij,bnj->bni", H, jnp.concatenate([kpts0, ones], -1))
+    warped = warped[..., :2] / (warped[..., 2:3] + 1e-8)
+    dist = jnp.linalg.norm(warped - mkpts1, axis=-1)
+    correct = jnp.sum((dist < threshold) & valid, axis=1)
+    matched = jnp.sum(valid, axis=1)
+    return correct, matched
+
+
+class HomographyPrecisionMetric:
+    """Reprojection precision under a ground-truth homography (evaluation for
+    the homography-pretraining path; the reference disables eval there —
+    homography_pretraining.yaml 'evaluation: False' — this goes beyond it)."""
+
+    def __init__(self, threshold_px: float = 3.0):
+        self.threshold_px = threshold_px
+        self.reset()
+
+    def reset(self) -> None:
+        self.precisions: List[float] = []
+        self.matching_scores: List[float] = []
+
+    def update(self, kpts0, kpts1, matches0, H, num_detected=None) -> None:
+        correct, matched = _homography_counts(
+            kpts0, kpts1, matches0, H, self.threshold_px
+        )
+        correct = np.asarray(correct)
+        matched = np.asarray(matched)
+        if num_detected is None:
+            num_detected = np.full(correct.shape, kpts0.shape[1])
+        else:
+            num_detected = np.asarray(num_detected)
+        self.precisions.extend((correct / np.maximum(matched, 1)).tolist())
+        self.matching_scores.extend((correct / np.maximum(num_detected, 1)).tolist())
+
+    def sync(self) -> None:
+        self.precisions = _allgather_list(self.precisions)
+        self.matching_scores = _allgather_list(self.matching_scores)
+
+    def compute(self) -> Dict[str, float]:
+        return {
+            f"H-Precision@{self.threshold_px}px": float(np.mean(self.precisions or [0.0])),
+            f"H-Matching Score@{self.threshold_px}px": float(
+                np.mean(self.matching_scores or [0.0])
+            ),
+        }
+
+
 def rotation_angle_deg(R_est: np.ndarray, R_gt: np.ndarray) -> float:
     cos = (np.trace(R_est.T @ R_gt) - 1.0) / 2.0
     return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))

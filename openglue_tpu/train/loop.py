@@ -105,26 +105,36 @@ def evaluate_online(
     """Validation for the ONLINE path (image batches; keypoints come from the
     eval step's extraction). Pose metrics require a 3d_reprojection
     transformation with K/R/T."""
+    from openglue_tpu.metrics import HomographyPrecisionMetric
+
     epipolar = EpipolarDistanceMetric(config.eval_threshold)
     pose_auc = CameraPoseAUC(config.pose_auc_thresholds, config.ransac_thresh_px)
+    homography = HomographyPrecisionMetric()
     for batch in eval_batches:
         if shard_fn is not None:
             batch = shard_fn(batch)
         out = eval_step(state, batch)
         tf = batch["transformation"]
-        if getattr(tf, "kind", None) != "3d_reprojection":
-            continue
         kpts0 = np.asarray(out["keypoints0"])
         kpts1 = np.asarray(out["keypoints1"])
         matches0 = np.asarray(out["matches0"])
         detected = np.asarray(out["mask0"]).sum(axis=1)
-        epipolar.update(
-            kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T, num_detected=detected
-        )
-        pose_auc.update(kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T)
+        if getattr(tf, "kind", None) == "3d_reprojection":
+            epipolar.update(
+                kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T, num_detected=detected
+            )
+            pose_auc.update(kpts0, kpts1, matches0, tf.K0, tf.K1, tf.R, tf.T)
+        elif getattr(tf, "kind", None) == "perspective":
+            homography.update(kpts0, kpts1, matches0, tf.H, num_detected=detected)
     epipolar.sync()
     pose_auc.sync()
-    return {**epipolar.compute(), **pose_auc.compute()}
+    homography.sync()
+    metrics: Dict[str, float] = {}
+    if epipolar.precisions:
+        metrics.update({**epipolar.compute(), **pose_auc.compute()})
+    if homography.precisions:
+        metrics.update(homography.compute())
+    return metrics
 
 
 def fit(

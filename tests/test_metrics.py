@@ -104,3 +104,32 @@ def test_pose_auc_too_few_matches_is_180():
         kpts0[None], kpts1[None], matches0[None], K[None], K[None], R[None], T[None]
     )
     assert auc.pose_errors == [180.0]
+
+
+def test_homography_precision_metric():
+    from openglue_tpu.metrics import HomographyPrecisionMetric
+
+    rng = np.random.default_rng(0)
+    kpts0 = rng.uniform(0, 300, (1, 50, 2)).astype(np.float32)
+    H = np.array([[1, 0, 7.0], [0, 1, -4.0], [0, 0, 1]], np.float32)
+    kpts1 = kpts0 + [7.0, -4.0]
+    matches = np.arange(50)[None]
+
+    m = HomographyPrecisionMetric(threshold_px=2.0)
+    m.update(kpts0, kpts1, matches, H[None])
+    res = m.compute()
+    assert res["H-Precision@2.0px"] == 1.0
+
+    bad = np.roll(matches, 5, axis=1)
+    m2 = HomographyPrecisionMetric(threshold_px=2.0)
+    m2.update(kpts0, kpts1, bad, H[None])
+    assert m2.compute()["H-Precision@2.0px"] < 0.2
+
+    # unmatched (-1) ignored
+    half = matches.copy()
+    half[0, ::2] = -1
+    m3 = HomographyPrecisionMetric(threshold_px=2.0)
+    m3.update(kpts0, kpts1, half, H[None])
+    r = m3.compute()
+    assert r["H-Precision@2.0px"] == 1.0
+    assert abs(r["H-Matching Score@2.0px"] - 0.5) < 0.01
