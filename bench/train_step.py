@@ -44,7 +44,12 @@ def main():
 
     def run(b):
         new_state, metrics = step(state, b)
-        return metrics["total_loss"]
+        # anchor the WHOLE step: loss alone would let XLA delete the backward
+        # pass and optimizer update as dead code
+        param_norm = sum(
+            jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(new_state.params)
+        )
+        return metrics["total_loss"] + metrics["grad_norm"] + param_norm
 
     def perturb(b, s):
         return b.replace(side0=b.side0.replace(descriptors=b.side0.descriptors * s))
