@@ -230,3 +230,64 @@ def test_masked_forward_equals_trimmed():
     # dustbin row/col live at the END of the padded matrix
     np.testing.assert_allclose(got[:, -1, :31], want[:, -1, :31], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(got[:, :24, -1], want[:, :24, -1], rtol=1e-3, atol=1e-4)
+
+
+def test_per_layer_activation_parity():
+    """Per-layer allclose (BASELINE.md target): PE output and every GNN
+    self/cross layer output captured via torch hooks vs flax
+    capture_intermediates. Torch layout is [B, D, N]; ours [B, N, D]."""
+    import torch
+
+    torch_model, config, variables = _build_pair()
+    inputs = _make_inputs()
+
+    captured = {}
+
+    def hook(name):
+        def fn(_module, _inputs, output):
+            captured[name] = output
+        return fn
+
+    torch_model.positional_encoding.register_forward_hook(hook("pe"))
+    for i, layer in enumerate(torch_model.attention_gnn.layers):
+        layer.register_forward_hook(hook(f"layer_{i}"))
+    _torch_forward(torch_model, inputs)
+
+    model = SuperGlue(config)
+    size = jnp.asarray([300, 200], jnp.float32)
+    _, state = model.apply(
+        variables,
+        kpts0=jnp.asarray(inputs["kpts0"]),
+        kpts1=jnp.asarray(inputs["kpts1"]),
+        desc0=jnp.asarray(inputs["desc0"]),
+        desc1=jnp.asarray(inputs["desc1"]),
+        side_info0=jnp.asarray(inputs["side0"]),
+        side_info1=jnp.asarray(inputs["side1"]),
+        image_size0=size,
+        image_size1=size,
+        mutable=["intermediates"],
+        capture_intermediates=True,
+    )
+    inter = state["intermediates"]
+
+    # positional encoding (torch [B, D, N]); the torch hook retains only the
+    # last call, which is image1's — compare that one
+    pe_calls = inter["positional_encoding"]["__call__"]
+    np.testing.assert_allclose(
+        np.asarray(pe_calls[1]),
+        captured["pe"].numpy().transpose(0, 2, 1),
+        atol=1e-5,
+    )
+
+    gnn = inter["attention_gnn"]
+    for stage in range(config.num_stages):
+        for offset, kind in ((0, "self"), (1, "cross")):
+            torch_out = captured[f"layer_{2 * stage + offset}"]
+            ours_calls = gnn[f"{kind}_{stage}"]["__call__"]
+            for img in (0, 1):
+                np.testing.assert_allclose(
+                    np.asarray(ours_calls[img]),
+                    torch_out[img].numpy().transpose(0, 2, 1),
+                    atol=5e-4,
+                    err_msg=f"{kind}_{stage} image{img}",
+                )
