@@ -10,8 +10,10 @@ fit comfortably in VMEM at the reference scales (N <= 2048, Dh = 64), so the
 kernel processes one query block against the full key set per grid step — no
 online-softmax rescaling needed, one exact softmax per row.
 
-Backward: jax.custom_vjp with the standard XLA einsum backward (recompute
-probabilities); forward-path fusion is where the HBM win is.
+Backward: fused Pallas backward kernel (recompute probabilities in VMEM, emit
+dq/dk/dv in one pass per (batch, head)) for graphs whose [N, M] score block
+fits VMEM twice; larger shapes fall back to the XLA einsum backward inside the
+same custom_vjp.
 """
 
 from __future__ import annotations
@@ -113,6 +115,104 @@ def _forward(
     return out[:, :n].reshape(batch, heads, n, dh)
 
 
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Grid step = one (batch*head). Full q/k/v/g for the head in VMEM;
+    recompute P = softmax(mask(qk')) then
+      dv = P' g;  dp = g v';  ds = P * (dp - rowsum(dp * P));
+      dq = ds k * scale;  dk = ds' q * scale.
+    Shapes: q/g [1, N, Dh]; k/v [1, M, Dh]; mask [1, 1, M]."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [N, M]
+    logits = jnp.where(mask_ref[0] > 0.5, logits, _NEG_INF)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)  # [N, M]
+
+    g32 = g.astype(jnp.float32)
+    dv = jax.lax.dot_general(
+        p, g32, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, Dh]
+    dp = jax.lax.dot_general(
+        g32, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, M]
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))  # [N, M]
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale  # [N, Dh]
+    dk = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [M, Dh]
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_fits_vmem(n: int, m: int, dh: int) -> bool:
+    n_pad, m_pad = _round_up(n, 8), _round_up(m, 128)
+    dh_pad = _round_up(dh, 128)
+    # two [N, M] f32 intermediates (p and dp) + six [*, Dh] tensors
+    return (2 * n_pad * m_pad + 6 * max(n_pad, m_pad) * dh_pad) * 4 < 13 * 1024 * 1024
+
+
+def _backward(query, key, value, kv_mask, g, interpret):
+    batch, heads, n, dh = query.shape
+    m = key.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    bh = batch * heads
+    q = query.reshape(bh, n, dh)
+    k = key.reshape(bh, m, dh)
+    v = value.reshape(bh, m, dh)
+    gg = g.reshape(bh, n, dh)
+    if kv_mask is None:
+        mask = jnp.ones((batch, m), jnp.float32)
+    else:
+        mask = kv_mask.astype(jnp.float32)
+    mask = jnp.broadcast_to(mask[:, None, None, :], (batch, heads, 1, m)).reshape(bh, 1, m)
+
+    kernel = functools.partial(_attention_bwd_kernel, scale=dh**-0.5)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, n, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, dh), query.dtype),
+            jax.ShapeDtypeStruct((bh, m, dh), key.dtype),
+            jax.ShapeDtypeStruct((bh, m, dh), value.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n * m * dh,
+            bytes_accessed=5 * bh * n * dh * 4,
+            transcendentals=bh * n * m,
+        ),
+    )(q, k, v, mask, gg)
+    return (
+        dq.reshape(batch, heads, n, dh),
+        dk.reshape(batch, heads, m, dh),
+        dv.reshape(batch, heads, m, dh),
+    )
+
+
 def masked_softmax_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,
@@ -135,6 +235,9 @@ def masked_softmax_attention(
 
     def f_bwd(residuals, g):
         q, k, v = residuals
+        n, m, dh = q.shape[2], k.shape[2], q.shape[3]
+        if _bwd_fits_vmem(n, m, dh):
+            return _backward(q, k, v, kv_mask, g, interpret)
         _, vjp = jax.vjp(
             lambda q_, k_, v_: attn_ref.softmax_attention(q_, k_, v_, kv_mask)[0],
             q,

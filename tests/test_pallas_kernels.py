@@ -146,3 +146,26 @@ class TestPallasModelPath:
         np.testing.assert_allclose(
             np.asarray(out_pal["scores"]), np.asarray(out_ref["scores"]), atol=5e-4
         )
+
+
+class TestAttentionBackwardKernel:
+    def test_bwd_fits_vmem_boundary(self):
+        assert attention_kernel._bwd_fits_vmem(1024, 1024, 64)
+        assert not attention_kernel._bwd_fits_vmem(2048, 2048, 64)
+
+    def test_unaligned_backward_matches_reference(self):
+        q, k, v = rand(0, 1, 2, 50, 64), rand(1, 1, 2, 37, 64), rand(2, 1, 2, 37, 64)
+        mask = jnp.arange(37)[None, :] < 30
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(
+                attention_kernel.masked_softmax_attention(q, k, v, mask, block_q=16) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attn_ref.softmax_attention(q, k, v, mask)[0] ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
