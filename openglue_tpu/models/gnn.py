@@ -145,7 +145,11 @@ class AttentionalPropagation(nn.Module):
 
 class AttentionGNN(nn.Module):
     """num_stages x (self + cross) attention over both keypoint graphs
-    (reference attention_gnn.py:59-93)."""
+    (reference attention_gnn.py:59-93).
+
+    ``remat=True`` rematerializes each propagation layer under jax.checkpoint
+    (activations recomputed in backward — trades ~30% more FLOPs for O(1)
+    stage activations; lets batch x N scale past HBM on deep stacks)."""
 
     num_stages: int
     embed_dim: int
@@ -155,6 +159,7 @@ class AttentionGNN(nn.Module):
     favor_num_features: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -174,16 +179,21 @@ class AttentionGNN(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
         )
+        layer_cls = (
+            nn.remat(AttentionalPropagation, static_argnums=(5,))
+            if self.remat
+            else AttentionalPropagation
+        )
         for stage in range(self.num_stages):
             # One module applied to both images => shared weights (reference
             # attention_gnn.py:63-66).
-            self_layer = AttentionalPropagation(**kwargs, name=f"self_{stage}")
+            self_layer = layer_cls(**kwargs, name=f"self_{stage}")
             desc0 = self_layer(desc0, desc0, mask0, mask0, train)
             desc1 = self_layer(desc1, desc1, mask1, mask1, train)
 
             # Sequential cross attention: image1 sees updated desc0 (reference
             # attention_gnn.py:74-77).
-            cross_layer = AttentionalPropagation(**kwargs, name=f"cross_{stage}")
+            cross_layer = layer_cls(**kwargs, name=f"cross_{stage}")
             desc0 = cross_layer(desc0, desc1, mask0, mask1, train)
             desc1 = cross_layer(desc1, desc0, mask1, mask0, train)
         return desc0, desc1

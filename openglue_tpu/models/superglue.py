@@ -48,6 +48,7 @@ class SuperGlueConfig:
     # implementation switches
     dtype: Any = None  # computation dtype; None = float32
     use_pallas: bool = False
+    remat: bool = False  # jax.checkpoint each GNN layer (memory for FLOPs)
 
     @classmethod
     def from_dict(cls, cfg: Mapping[str, Any]) -> "SuperGlueConfig":
@@ -72,6 +73,7 @@ class SuperGlueConfig:
             no_descriptors=cfg.get("no_descriptors", False),
             dtype=cfg.get("dtype"),
             use_pallas=cfg.get("use_pallas", False),
+            remat=cfg.get("remat", False),
         )
 
 

@@ -129,3 +129,25 @@ def test_train_step_other_attention_variants(attention):
     for _ in range(10):
         state, metrics = step(state, batch)
     assert float(metrics["total_loss"]) < float(m0["total_loss"])
+
+
+def test_remat_training_matches_standard():
+    """jax.checkpoint'd GNN layers: identical loss/gradients, less memory."""
+    import dataclasses
+
+    state, batch, _ = build_state()
+    cfg_remat = dataclasses.replace(state.apply_fn.__self__.config, remat=True)
+    from openglue_tpu.models.superglue import SuperGlue
+
+    model_remat = SuperGlue(cfg_remat)
+    state_remat = state.replace(apply_fn=model_remat.apply)
+
+    step = make_train_step(LossConfig(positive_threshold=3.0, negative_threshold=5.0))
+    _, m_std = jax.jit(step)(state, batch)
+    _, m_rmt = jax.jit(step)(state_remat, batch)
+    np.testing.assert_allclose(
+        float(m_rmt["total_loss"]), float(m_std["total_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_rmt["grad_norm"]), float(m_std["grad_norm"]), rtol=1e-4
+    )
