@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--max_pairs", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from openglue_tpu.parallel.distributed import initialize as distributed_initialize
+
+    distributed_initialize()
     exp = Path(args.experiment)
     config = common.load_merged_config(
         str(exp / "config.yaml"), args.config

@@ -103,6 +103,9 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from openglue_tpu.parallel.distributed import initialize as distributed_initialize
+
+    distributed_initialize()
     import jax
 
     features_config = load_config(args.features_config)

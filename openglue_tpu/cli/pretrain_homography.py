@@ -22,6 +22,9 @@ def main(argv=None):
     parser.add_argument("--smoke", action="store_true")
     args = parser.parse_args(argv)
 
+    from openglue_tpu.parallel.distributed import initialize as distributed_initialize
+
+    distributed_initialize()
     config = common.load_merged_config(args.config, args.config_override)
     if args.smoke:
         config["train"]["steps_per_epoch"] = 2

@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--smoke", action="store_true")
     args = parser.parse_args(argv)
 
+    from openglue_tpu.parallel.distributed import initialize as distributed_initialize
+
+    distributed_initialize()
     config = common.load_merged_config(args.config, args.config_override)
     features_config = load_config(args.features_config)
     if args.smoke:
