@@ -105,3 +105,10 @@ class HomographyPairsDataset:
             "image1": warped_c.astype(np.float32) / 255.0,
             "transformation": {"type": "perspective", "H": H.astype(np.float32)},
         }
+
+
+# Reference-name aliases: the revisitop1m dataset (oxford_paris_dataset.py) and
+# the unwired MegaDepth warping dataset (megadepth_dataset.py:16-52) are both
+# instances of the same image-folder + random-warp recipe.
+OxfordParis1MDataset = HomographyPairsDataset
+MegaDepthWarpingDataset = HomographyPairsDataset
