@@ -163,7 +163,12 @@ def main(argv=None):
             padded[:h, :w] = resized.astype(np.float32) / 255.0
             feats = apply(variables, padded[None, ..., None])
             mask = np.asarray(feats.mask[0])
-            lafs = np.asarray(feats.lafs[0])[mask]
+            lafs_all = np.asarray(feats.lafs[0])
+            # drop detections in the zero-padding band: the image->zeros seam
+            # fires the detector and those keypoints lie outside (w, h)
+            in_bounds = (lafs_all[:, 0, 2] < w) & (lafs_all[:, 1, 2] < h)
+            mask = mask & in_bounds
+            lafs = lafs_all[mask]
             scores = np.asarray(feats.responses[0])[mask]
             desc = np.asarray(feats.descriptors[0])[mask]
         else:

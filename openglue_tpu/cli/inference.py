@@ -87,11 +87,15 @@ class OpenGlueMatcher:
             padded = np.zeros((ph, pw), np.float32)
             padded[:h, :w] = resized.astype(np.float32) / 255.0
             feats = self.ext_apply(self.ext_variables, padded[None, ..., None])
+            lafs = np.asarray(feats.lafs[0])
+            mask = np.asarray(feats.mask[0])
+            # exclude padding-seam detections outside the true image bounds
+            mask = mask & (lafs[:, 0, 2] < w) & (lafs[:, 1, 2] < h)
             return (
-                np.asarray(feats.lafs[0]),
+                lafs,
                 np.asarray(feats.responses[0]),
                 np.asarray(feats.descriptors[0]),
-                np.asarray(feats.mask[0]),
+                mask,
                 (w, h),
             )
         lafs, scores, desc, mask = self.extractor.detect_and_compute(resized)

@@ -103,8 +103,8 @@ def stack_keypoints_batch(
         side_info = np.concatenate(
             [resp, np.asarray(laf_converter(jnp.asarray(lafs)))], axis=-1
         ).astype(np.float32)
-        image_size = np.tile(
-            np.asarray(samples[0][f"image{image_id}_size"], np.float32), (batch, 1)
+        image_size = np.stack(
+            [np.asarray(s[f"image{image_id}_size"], np.float32) for s in samples]
         )
         sides.append(
             KeypointSet(

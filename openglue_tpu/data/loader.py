@@ -65,9 +65,16 @@ class DataLoader:
                 yield self.collate_fn([self.dataset[i] for i in idx_batch])
             return
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         idx_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * 2)
         stop = threading.Event()
+        # Backpressure via an admission window: a worker may only start
+        # collating seq when seq < consumed + window, so at most ``window``
+        # batches ever exist beyond the consumer. Because workers pull seqs in
+        # order, the smallest outstanding seq is always admitted — this cannot
+        # deadlock (a bounded semaphore can: out-of-order results may hold
+        # every slot while the next-needed seq's worker blocks).
+        window = self.prefetch + self.num_workers
+        consumed = [0]
 
         # Order-preserving: one dispatcher assigns sequence numbers; a single
         # reorder buffer emits in order.
@@ -92,6 +99,11 @@ class DataLoader:
                         results_cv.notify_all()
                     return
                 seq, idx_batch = item
+                with results_cv:
+                    while seq >= consumed[0] + window and not stop.is_set():
+                        results_cv.wait(timeout=0.1)
+                if stop.is_set():
+                    return
                 try:
                     batch = self.collate_fn([self.dataset[i] for i in idx_batch])
                 except Exception as exc:  # propagate to consumer
@@ -117,6 +129,9 @@ class DataLoader:
                         return
                     else:
                         continue
+                with results_cv:
+                    consumed[0] = seq + 1
+                    results_cv.notify_all()
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch

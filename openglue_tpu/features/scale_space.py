@@ -156,6 +156,23 @@ def detect_keypoints(
         num_octaves += 1
         h, w = octave.shape[1:]
 
+    if not all_scores:
+        # image smaller than min_size: no octaves — return all-invalid padded
+        # outputs instead of crashing on an empty concatenate
+        zeros_xy = jnp.zeros((batch, max_keypoints, 2), jnp.float32)
+        lafs = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (batch, max_keypoints, 2, 2)),
+                zeros_xy[..., None],
+            ],
+            axis=-1,
+        )
+        return (
+            lafs,
+            jnp.zeros((batch, max_keypoints), jnp.float32),
+            jnp.zeros((batch, max_keypoints), bool),
+        )
+
     scores = jnp.concatenate(all_scores, axis=1)
     xy = jnp.concatenate(all_xy, axis=1)
     sigma = jnp.concatenate(all_sigma, axis=1)

@@ -245,7 +245,12 @@ class CameraPoseAUC:
         self.pose_errors = _allgather_list(self.pose_errors)
 
     def compute(self) -> Dict[str, float]:
-        """Trapezoid AUC on the error-recall curve (reference metrics.py:125-141)."""
+        """Trapezoid AUC on the error-recall curve (reference metrics.py:125-141).
+
+        The recall carried to the threshold endpoint is the recall of the last
+        error BELOW the threshold (recall is a step function of the error —
+        appending total recall there would inflate the AUC whenever any pair
+        exceeds the threshold)."""
         errors = np.sort(np.asarray(self.pose_errors, dtype=np.float64))
         n = len(errors)
         out = {}
@@ -254,8 +259,9 @@ class CameraPoseAUC:
                 out[f"AUC@{int(thr)}deg"] = 0.0
                 continue
             recall = (np.arange(n) + 1) / n
-            e = np.concatenate([[0.0], errors, [thr]])
-            r = np.concatenate([[0.0], recall, [recall[-1]]])
-            keep = e <= thr
-            out[f"AUC@{int(thr)}deg"] = float(np.trapezoid(r[keep], e[keep]) / thr)
+            below = errors <= thr
+            r_at_thr = recall[below][-1] if below.any() else 0.0
+            e = np.concatenate([[0.0], errors[below], [thr]])
+            r = np.concatenate([[0.0], recall[below], [r_at_thr]])
+            out[f"AUC@{int(thr)}deg"] = float(np.trapezoid(r, e) / thr)
         return out

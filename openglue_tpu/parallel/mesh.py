@@ -58,16 +58,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a pytree of [B, ...] arrays with the batch axis over ``data``.
+    """Place a pytree of [B_local, ...] arrays with the batch axis over ``data``.
 
-    Per-host data sharding upstream (each host loads its slice of the global
-    batch) composes with this via jax.make_array_from_process_local_data; on a
-    single host device_put with a NamedSharding suffices.
+    Single host: device_put with the NamedSharding. Multi-host: each host
+    passes its LOCAL slice of the global batch (see local_batch_slice) and
+    jax.make_array_from_process_local_data assembles the global array —
+    device_put alone would treat every host's slice as the full global batch.
     """
     sharding = NamedSharding(mesh, batch_pspec(mesh))
+    multi_host = jax.process_count() > 1
 
     def place(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        if multi_host:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(place, batch)

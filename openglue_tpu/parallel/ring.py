@@ -60,8 +60,7 @@ def ring_softmax_attention(
     m_run = jnp.full_like(q[..., 0], _NEG_INF)
     denom = jnp.zeros_like(q[..., 0])
 
-    def body(i, carry):
-        k_blk, v_blk, mask_blk, acc, m_run, denom = carry
+    def accumulate(k_blk, v_blk, mask_blk, acc, m_run, denom):
         logits = block_logits(k_blk, mask_blk)  # [B,H,n_loc,m_loc]
         m_blk = jnp.max(logits, axis=-1)
         m_new = jnp.maximum(m_run, m_blk)
@@ -69,17 +68,18 @@ def ring_softmax_attention(
         p = jnp.exp(logits - m_new[..., None])
         denom = denom * corr + jnp.sum(p, axis=-1)
         acc = acc * corr[..., None] + jnp.einsum("bhnm,bhmd->bhnd", p, v_blk)
+        return acc, m_new, denom
 
-        # rotate K/V/mask to the next shard (skip after the last block)
-        perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
-        return k_blk, v_blk, mask_blk, acc, m_new, denom
-
-    carry = (k, v, kv_mask, acc, m_run, denom)
-    carry = jax.lax.fori_loop(0, axis_size, body, carry)
-    _, _, _, acc, m_run, denom = carry
+    # axis_size is static — unroll so the final block skips the (discarded)
+    # K/V/mask rotation
+    perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
+    k_blk, v_blk, mask_blk = k, v, kv_mask
+    for step in range(axis_size):
+        acc, m_run, denom = accumulate(k_blk, v_blk, mask_blk, acc, m_run, denom)
+        if step + 1 < axis_size:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+            mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
     # fully-masked rows (no valid key anywhere) -> zero output
     safe = jnp.maximum(denom, 1e-30)
     return acc / safe[..., None]

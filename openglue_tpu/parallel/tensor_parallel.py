@@ -73,11 +73,21 @@ def shard_params_tp(params: Dict[str, Any], mesh: Mesh, axis: str = MODEL_AXIS):
     )
 
 
-def tp_forward_jit(apply_fn, mesh: Mesh, axis: str = MODEL_AXIS):
-    """Jit a (variables, **batch) forward with TP'd params; batch replicated
-    (combine with data/CP shardings by passing richer in_shardings)."""
+def tp_forward_jit(apply_fn, mesh: Mesh, variables, axis: str = MODEL_AXIS):
+    """Jit a (variables, kwargs) forward with the TP parameter shardings
+    constrained at the jit boundary (batch replicated; compose with data/CP
+    by extending the kwargs sharding)."""
+    param_specs = matcher_param_pspecs(variables["params"], axis)
+    var_shardings = {
+        key: (
+            jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_specs)
+            if key == "params"
+            else jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), value)
+        )
+        for key, value in variables.items()
+    }
 
     def fn(variables, kwargs):
         return apply_fn(variables, **kwargs)
 
-    return jax.jit(fn)
+    return jax.jit(fn, in_shardings=(var_shardings, None))

@@ -153,11 +153,13 @@ def fit(
     logger = MetricsLogger(config.log_dir)
     rng = jax.random.key(config.seed)
     train_iter = iter(train_batches)
+    # host-side step counter: reading state.step every step would force a
+    # host-device sync on the hot path and kill async dispatch
+    step_idx = int(state.step)
 
     for epoch in range(config.max_epochs):
         t_epoch = time.time()
         for _ in range(config.steps_per_epoch):
-            step_idx = int(state.step)
             if (
                 config.favor_redraw_interval
                 and step_idx > 0
@@ -180,6 +182,7 @@ def fit(
                         + " ".join(f"{k}={v:.4f}" for k, v in host_metrics.items()),
                         flush=True,
                     )
+            step_idx += 1
 
         if eval_step is not None and eval_batches_fn is not None:
             run_eval = evaluate_fn or evaluate
@@ -192,7 +195,9 @@ def fit(
                     flush=True,
                 )
 
-        if config.checkpoint_dir and _is_main_host():
+        if config.checkpoint_dir:
+            # collective: orbax save/wait barrier across ALL hosts — gating on
+            # process 0 would deadlock multi-host runs
             save_train_state(config.checkpoint_dir, state)
         if _is_main_host():
             print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s", flush=True)

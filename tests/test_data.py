@@ -247,3 +247,35 @@ class TestHomographyDataset:
         interior = np.s_[60:180, 80:240]
         diff = np.abs(warped[interior] - s["image1"][interior])
         assert np.median(diff) < 0.05
+
+
+class TestLoaderBackpressure:
+    def test_reorder_buffer_bounded(self):
+        import threading
+        import time as time_mod
+
+        in_flight = []
+        lock = threading.Lock()
+        peak = [0]
+
+        def collate(xs):
+            with lock:
+                in_flight.append(1)
+                peak[0] = max(peak[0], len(in_flight))
+            return sum(xs)
+
+        loader = DataLoader(
+            list(range(400)), batch_size=4, collate_fn=collate,
+            num_workers=4, prefetch=3,
+        )
+        out = []
+        for batch in loader:
+            time_mod.sleep(0.002)  # slow consumer
+            with lock:
+                if in_flight:
+                    in_flight.pop()
+            out.append(batch)
+        assert len(out) == 100
+        # admission window = prefetch + num_workers => at most that many
+        # batches beyond the consumer (+1 slack for the pop accounting race)
+        assert peak[0] <= 3 + 4 + 1, f"peak in-flight {peak[0]}"

@@ -133,3 +133,13 @@ def test_homography_precision_metric():
     r = m3.compute()
     assert r["H-Precision@2.0px"] == 1.0
     assert abs(r["H-Matching Score@2.0px"] - 0.5) < 0.01
+
+
+def test_pose_auc_not_inflated_by_failures():
+    """Recall carried to the threshold must be the recall of the last error
+    BELOW it, not total recall (review finding: [1, 100] deg @5 => 0.45)."""
+    auc = CameraPoseAUC()
+    auc.pose_errors = [1.0, 100.0]
+    assert abs(auc.compute()["AUC@5deg"] - 0.45) < 1e-9
+    auc.pose_errors = [50.0]
+    assert auc.compute()["AUC@5deg"] == 0.0

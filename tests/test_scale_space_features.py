@@ -188,3 +188,10 @@ class TestHardNet:
         desc = describe_lafs(model, variables, img, lafs)
         assert desc.shape == (1, 2, 128)
         np.testing.assert_allclose(np.linalg.norm(np.asarray(desc), axis=-1), 1.0, atol=1e-5)
+
+
+def test_detector_tiny_image_returns_invalid():
+    img = jnp.zeros((1, 16, 16))
+    lafs, scores, valid = detect_keypoints(img, 10, double_image=False)
+    assert lafs.shape == (1, 10, 2, 3)
+    assert not bool(valid.any())
