@@ -36,7 +36,14 @@ ATTENTION_KINDS = ("softmax", "linear", "favor_relu", "favor_softmax")
 
 class MultiheadAttention(nn.Module):
     """Multi-head attention with pluggable score mechanisms
-    (reference attention_gnn.py:8-32 + attention.py:8-118)."""
+    (reference attention_gnn.py:8-32 + attention.py:8-118).
+
+    ``ring_axis``: name of a mesh axis to run softmax attention as the
+    hand-scheduled ring schedule (parallel.ring) under shard_map — queries
+    stay on their keypoint shard, K/V blocks rotate over ICI. Composes inside
+    a jitted model whose inputs are sharded on that axis (context
+    parallelism); the jit must run under ``jax.set_mesh(mesh)`` so the nested
+    shard_map resolves the axis. None = let XLA/GSPMD partition the einsums."""
 
     embed_dim: int
     num_heads: int
@@ -44,6 +51,7 @@ class MultiheadAttention(nn.Module):
     favor_num_features: Optional[int] = None  # default 2*head_dim
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -71,7 +79,9 @@ class MultiheadAttention(nn.Module):
         v = split_heads(dense("v_proj")(kv_input), m)
 
         if self.attention == "softmax":
-            if self.use_pallas:
+            if self.ring_axis is not None:
+                out = self._ring_attention(q, k, v, kv_mask, batch, m)
+            elif self.use_pallas:
                 from openglue_tpu.ops.pallas import attention_kernel
 
                 out = attention_kernel.masked_softmax_attention(q, k, v, kv_mask)
@@ -102,6 +112,27 @@ class MultiheadAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(batch, n, self.embed_dim)
         return dense("out_proj")(out)
 
+    def _ring_attention(self, q, k, v, kv_mask, batch, m):
+        """Hand-scheduled ring attention under shard_map over ``ring_axis``
+        (nested inside the jitted model; keypoint axes sharded on that axis)."""
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from openglue_tpu.parallel.ring import ring_softmax_attention
+
+        if kv_mask is None:
+            kv_mask = jnp.ones((batch, m), dtype=bool)
+        axis = self.ring_axis
+        fn = jax.shard_map(
+            partial(ring_softmax_attention, axis_name=axis),
+            in_specs=(P(None, None, axis), P(None, None, axis),
+                      P(None, None, axis), P(None, axis)),
+            out_specs=P(None, None, axis),
+            axis_names={axis},
+        )
+        return fn(q, k, v, kv_mask)
+
 
 class AttentionalPropagation(nn.Module):
     """Residual attention message propagation
@@ -114,6 +145,7 @@ class AttentionalPropagation(nn.Module):
     favor_num_features: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -131,6 +163,7 @@ class AttentionalPropagation(nn.Module):
             self.favor_num_features,
             self.dtype,
             self.use_pallas,
+            self.ring_axis,
             name="mha",
         )(desc_q, desc_kv, kv_mask)
         if self.use_offset:
@@ -160,6 +193,7 @@ class AttentionGNN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     remat: bool = False
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -178,6 +212,7 @@ class AttentionGNN(nn.Module):
             favor_num_features=self.favor_num_features,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            ring_axis=self.ring_axis,
         )
         layer_cls = (
             nn.remat(AttentionalPropagation, static_argnums=(5,))

@@ -49,6 +49,7 @@ class SuperGlueConfig:
     dtype: Any = None  # computation dtype; None = float32
     use_pallas: bool = False
     remat: bool = False  # jax.checkpoint each GNN layer (memory for FLOPs)
+    ring_axis: Any = None  # mesh axis for hand-scheduled ring attention (CP)
 
     @classmethod
     def from_dict(cls, cfg: Mapping[str, Any]) -> "SuperGlueConfig":
@@ -74,6 +75,7 @@ class SuperGlueConfig:
             dtype=cfg.get("dtype"),
             use_pallas=cfg.get("use_pallas", False),
             remat=cfg.get("remat", False),
+            ring_axis=cfg.get("ring_axis"),
         )
 
 

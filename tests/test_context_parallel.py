@@ -148,3 +148,35 @@ class TestGSPMDContextParallel:
             float(cp_metrics["grad_norm"]), float(ref_metrics["grad_norm"]), rtol=1e-4
         )
         assert int(new_state.step) == 1
+
+
+class TestRingInModel:
+    def test_superglue_ring_axis_matches_baseline(self):
+        """Full SuperGlue with hand-scheduled ring attention (shard_map nested
+        in the jitted CP model) must match the unsharded forward."""
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.parallel.context_parallel import shard_pair_batch_cp
+        from openglue_tpu.train.step import superglue_inputs
+
+        mesh = make_mesh({"model": 8})
+        base_kwargs = dict(
+            descriptor_dim=32, pe_hidden_layers_sizes=(16,), num_stages=2,
+            num_heads=4, otp_num_iters=8, residual=True,
+        )
+        model_ref = SuperGlue(SuperGlueConfig(**base_kwargs))
+        model_ring = SuperGlue(SuperGlueConfig(**base_kwargs, ring_axis="model"))
+
+        gen = SyntheticHomographyPairs(num_keypoints=64, descriptor_dim=32)
+        batch = gen.sample(jax.random.key(0), 2)
+        variables = model_ref.init(jax.random.key(1), **superglue_inputs(batch))
+        ref = jax.jit(lambda v, b: model_ref.apply(v, **superglue_inputs(b))["scores"])(
+            variables, batch
+        )
+
+        sharded = shard_pair_batch_cp(batch, mesh)
+        with jax.set_mesh(mesh):
+            out = jax.jit(
+                lambda v, b: model_ring.apply(v, **superglue_inputs(b))["scores"]
+            )(variables, sharded)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
