@@ -29,7 +29,10 @@ from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
 @dataclasses.dataclass(frozen=True)
 class MatchingModuleConfig:
     superglue: SuperGlueConfig = SuperGlueConfig()
-    superpoint: SuperPointConfig = SuperPointConfig()
+    extractor_name: str = "SuperPointNet"
+    extractor_params: Any = dataclasses.field(default_factory=dict)
+    # kept for backwards compatibility; used when extractor_name is SuperPoint*
+    superpoint: Optional[SuperPointConfig] = None
     laf_converter: str = "none"
     finetune: bool = False
     log_response: bool = False
@@ -40,21 +43,26 @@ class MatchingModuleConfig:
         superglue block; descriptor_dim and side_info_size are propagated into
         the matcher config (reference matching_module.py:35-43)."""
         features = cfg.get("features", {})
-        sp_params = {
-            k: v
-            for k, v in features.get("parameters", {}).items()
-            if k in {f.name for f in dataclasses.fields(SuperPointConfig)}
-        }
-        superpoint = SuperPointConfig(**sp_params)
+        name = features.get("name", "SuperPointNet")
+        params = dict(features.get("parameters", {}))
+        if name.startswith("SuperPointNet"):
+            params = {
+                k: v for k, v in params.items()
+                if k in {f.name for f in dataclasses.fields(SuperPointConfig)}
+            }
+            descriptor_dim = SuperPointConfig(**params).descriptor_dim
+        else:
+            descriptor_dim = int(features.get("descriptor_dim", params.get("descriptor_dim", 128)))
         laf_name = cfg.get("laf_to_sideinfo_method", "none")
         converter = get_laf_to_sideinfo_converter(laf_name)
         sg_cfg = dict(cfg.get("superglue", {}))
-        sg_cfg["descriptor_dim"] = superpoint.descriptor_dim
+        sg_cfg["descriptor_dim"] = descriptor_dim
         sg = SuperGlueConfig.from_dict(sg_cfg)
         sg = dataclasses.replace(sg, side_info_size=converter.side_info_dim + 1)
         return cls(
             superglue=sg,
-            superpoint=superpoint,
+            extractor_name=name,
+            extractor_params=params,
             laf_converter=laf_name,
             finetune=cfg.get("train", {}).get("finetune_features_extractor", False),
             log_response=features.get("log_response", False),
@@ -67,12 +75,35 @@ class MatchingModule(nn.Module):
     config: MatchingModuleConfig
 
     def setup(self):
-        self.extractor = SuperPoint(self.config.superpoint, name="extractor")
-        self.superglue = SuperGlue(self.config.superglue, name="superglue")
-        self._laf_converter = get_laf_to_sideinfo_converter(self.config.laf_converter)
+        cfg = self.config
+        if cfg.extractor_name.startswith("SuperPointNet") or cfg.superpoint is not None:
+            sp_cfg = cfg.superpoint or SuperPointConfig(
+                **dict(cfg.extractor_params),
+                **({"bn": True} if cfg.extractor_name == "SuperPointNetBn" else {}),
+            )
+            self.extractor = SuperPoint(sp_cfg, name="extractor")
+            self._param_free_extractor = None
+        else:
+            # parameter-free device extractor from the registry (e.g. SIFT)
+            from openglue_tpu.features.registry import DEVICE_EXTRACTORS
+
+            if cfg.extractor_name not in DEVICE_EXTRACTORS:
+                raise ValueError(
+                    f"MatchingModule requires a device extractor; {cfg.extractor_name!r} "
+                    f"is not one of {sorted(DEVICE_EXTRACTORS)}"
+                )
+            self._param_free_extractor = DEVICE_EXTRACTORS[cfg.extractor_name](
+                **dict(cfg.extractor_params)
+            )
+        self.superglue = SuperGlue(cfg.superglue, name="superglue")
+        self._laf_converter = get_laf_to_sideinfo_converter(cfg.laf_converter)
 
     def extract(self, image: jnp.ndarray, train: bool = False) -> Features:
         """image: [B, H, W] or [B, H, W, 1]."""
+        if self._param_free_extractor is not None:
+            if image.ndim == 4:
+                image = image[..., 0]
+            return self._param_free_extractor(image)
         if image.ndim == 3:
             image = image[..., None]
         extractor_train = train and self.config.finetune

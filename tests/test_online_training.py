@@ -154,3 +154,67 @@ class TestMatchingModule:
         assert cfg.superglue.descriptor_dim == 128
         assert cfg.superglue.side_info_size == 4  # 1 response + 1 scale + 2 rot
         assert cfg.superglue.num_stages == 3
+
+
+class TestSIFTOnline:
+    def test_sift_extractor_matching_module(self):
+        """Online path with the parameter-free device SIFT extractor."""
+        cfg = MatchingModuleConfig.from_dict(
+            {
+                "features": {
+                    "name": "SIFT",
+                    "descriptor_dim": 128,
+                    "parameters": {"max_keypoints": 64, "double_image": False},
+                },
+                "laf_to_sideinfo_method": "scale_rotation",
+                "superglue": {
+                    "positional_encoding": {"hidden_layers_sizes": [16]},
+                    "attention_gnn": {"num_stages": 1, "num_heads": 4},
+                    "otp": {"num_iters": 5},
+                    "residual": True,
+                },
+            }
+        )
+        assert cfg.superglue.descriptor_dim == 128
+        assert cfg.superglue.side_info_size == 4
+        model = MatchingModule(cfg)
+        batch = image_pair_batch(h=96, w=128)
+        variables = model.init(jax.random.key(0), batch["image0"], batch["image1"])
+        # no extractor params: only the matcher subtree exists
+        assert set(variables["params"].keys()) == {"superglue"}
+        out, pair = jax.jit(lambda v, a, b: model.apply(v, a, b))(
+            variables, batch["image0"], batch["image1"]
+        )
+        assert out["scores"].shape == (2, 65, 65)
+        assert pair.side0.side_info.shape[-1] == 4
+
+    def test_sift_online_training_learns(self):
+        cfg = MatchingModuleConfig.from_dict(
+            {
+                "features": {
+                    "name": "SIFT",
+                    "descriptor_dim": 128,
+                    "parameters": {"max_keypoints": 64, "double_image": False},
+                },
+                "laf_to_sideinfo_method": "none",
+                "superglue": {
+                    "positional_encoding": {"hidden_layers_sizes": [16]},
+                    "attention_gnn": {"num_stages": 1, "num_heads": 4},
+                    "otp": {"num_iters": 5},
+                    "residual": True,
+                },
+            }
+        )
+        model = MatchingModule(cfg)
+        batch = image_pair_batch(h=96, w=128)
+        variables = model.init(jax.random.key(0), batch["image0"], batch["image1"])
+        tx = make_online_optimizer(variables["params"], learning_rate=1e-3,
+                                   finetune_extractor=False, extractor_key="extractor")
+        state = create_train_state(model.apply, variables, tx=tx)
+        step = jax.jit(
+            make_online_train_step(LossConfig(positive_threshold=3.0), augmentation="none")
+        )
+        state, m0 = step(state, batch, jax.random.key(0))
+        for _ in range(10):
+            state, metrics = step(state, batch, jax.random.key(0))
+        assert float(metrics["total_loss"]) < float(m0["total_loss"])
