@@ -122,7 +122,8 @@ def main(argv=None):
     log_dir = common.prepare_logging_directory(config, features_config)
     train_loader, val_loader_fn = build_dataloaders(config, laf_converter)
 
-    first = next(iter_once(train_loader))
+    train_iter = iter(train_loader)
+    first = next(train_iter)
     variables = model.init(jax.random.key(0), **superglue_inputs(first))
     state = create_train_state(
         model.apply,
@@ -140,23 +141,19 @@ def main(argv=None):
     # eval outputs come back to host for RANSAC; keep them on data sharding
     eval_step = jax.jit(eval_step_fn)
 
+    import itertools
+
     loop_cfg = common.loop_config_from(config, log_dir)
     state = fit(
         state,
         train_step,
-        train_loader,
+        itertools.chain([first], train_iter),  # init batch still gets trained on
         loop_cfg,
         eval_step=eval_step,
         eval_batches_fn=val_loader_fn,
         shard_fn=lambda b: shard_batch(b, mesh),
     )
     return state
-
-
-def iter_once(loader):
-    for batch in loader:
-        yield batch
-        break
 
 
 if __name__ == "__main__":
