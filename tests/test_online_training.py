@@ -218,3 +218,18 @@ class TestSIFTOnline:
         for _ in range(10):
             state, metrics = step(state, batch, jax.random.key(0))
         assert float(metrics["total_loss"]) < float(m0["total_loss"])
+
+
+def test_evaluate_online_homography_metric():
+    """evaluate_online on perspective batches reports H-precision."""
+    from openglue_tpu.train.loop import TrainLoopConfig, evaluate_online
+    from openglue_tpu.train.step import make_online_eval_step
+
+    model = MatchingModule(small_config())
+    batch = image_pair_batch()
+    variables = model.init(jax.random.key(0), batch["image0"], batch["image1"])
+    state = create_train_state(model.apply, variables)
+    eval_step = jax.jit(make_online_eval_step(0.0))
+    metrics = evaluate_online(state, eval_step, [batch], TrainLoopConfig())
+    assert "H-Precision@3.0px" in metrics
+    assert 0.0 <= metrics["H-Precision@3.0px"] <= 1.0
