@@ -93,6 +93,10 @@ def main(argv=None):
     parser.add_argument("--config_override", default=None)
     parser.add_argument("--checkpoint", default=None, help="resume from this checkpoint dir")
     parser.add_argument("--smoke", action="store_true", help="tiny loop for CI")
+    parser.add_argument(
+        "--checkify", action="store_true",
+        help="wrap the train step with NaN/Inf checks (debugging; slower)",
+    )
     args = parser.parse_args(argv)
 
     from openglue_tpu.parallel.distributed import initialize as distributed_initialize
@@ -136,7 +140,13 @@ def main(argv=None):
         state = restore_train_state(args.checkpoint, state)
 
     mesh, shard_batch, shard_train_step, shard_eval_step = common.build_mesh_and_sharding()
-    train_step = shard_train_step(make_train_step(common.loss_config_from(config)), mesh)
+    raw_step = make_train_step(common.loss_config_from(config))
+    if args.checkify:
+        from openglue_tpu.debugging import checked
+
+        train_step = checked(raw_step)
+    else:
+        train_step = shard_train_step(raw_step, mesh)
     eval_step_fn = make_eval_step(float(config.get("inference.match_threshold", 0.2)))
     # eval outputs come back to host for RANSAC; keep them on data sharding
     eval_step = jax.jit(eval_step_fn)
