@@ -59,16 +59,31 @@ def stack_keypoints_batch(
     laf_converter: Optional[LAFConverter] = None,
     log_response: bool = False,
     rng: Optional[np.random.Generator] = None,
+    buckets: Optional[Sequence[int]] = None,
 ) -> PairBatch:
     """Collate cached-feature sample dicts into a PairBatch of numpy arrays.
 
     side_info is built host-side (response + LAF-converter features,
     reference models/features/utils.py:54-65) so the device step is pure
     matcher compute.
+
+    ``buckets``: optional static bucket sizes (data/bucketing.py) — the batch
+    is padded to the smallest bucket fitting its largest real keypoint count
+    (capped by target_num_keypoints) instead of always target_num_keypoints.
     """
     rng = rng or np.random.default_rng()
     laf_converter = laf_converter or LAFConverter()
     batch = len(samples)
+
+    if buckets is not None:
+        from openglue_tpu.data.bucketing import batch_bucket
+
+        counts = [
+            s[f"lafs{i}"].shape[0] for s in samples for i in (0, 1)
+        ]
+        target_num_keypoints = min(
+            batch_bucket(counts, buckets), target_num_keypoints
+        )
 
     sides = []
     depths = {0: [], 1: []}

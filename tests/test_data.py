@@ -279,3 +279,31 @@ class TestLoaderBackpressure:
         # admission window = prefetch + num_workers => at most that many
         # batches beyond the consumer (+1 slack for the pop accounting race)
         assert peak[0] <= 3 + 4 + 1, f"peak in-flight {peak[0]}"
+
+
+class TestBucketing:
+    def test_choose_bucket(self):
+        from openglue_tpu.data.bucketing import batch_bucket, choose_bucket
+
+        assert choose_bucket(100, (256, 512, 1024)) == 256
+        assert choose_bucket(300, (256, 512, 1024)) == 512
+        assert choose_bucket(2000, (256, 512, 1024)) == 1024
+        assert batch_bucket([100, 400], (256, 512, 1024)) == 512
+
+    def test_collate_with_buckets(self, tmp_path):
+        make_megadepth_fixture(tmp_path)  # 50 kpts per image
+        ds = MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a"], target_size=TARGET_CACHED
+        )
+        samples = [ds[0], ds[1]]
+        batch = stack_keypoints_batch(
+            samples, target_num_keypoints=1024, buckets=(64, 256, 1024)
+        )
+        # ~40-50 surviving kpts -> the 64 bucket, not 1024
+        assert batch.side0.keypoints.shape[1] == 64
+        assert batch.side0.mask.any()
+        # target cap still respected
+        small = stack_keypoints_batch(
+            samples, target_num_keypoints=32, buckets=(64, 256)
+        )
+        assert small.side0.keypoints.shape[1] == 32
