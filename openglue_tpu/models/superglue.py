@@ -162,7 +162,19 @@ class SuperGlue(nn.Module):
             "dustbin_score",
             lambda _key: jnp.asarray(cfg.dustbin_score_init, jnp.float32),
         )
-        if cfg.use_pallas:
+        if cfg.ring_axis is not None:
+            from openglue_tpu.parallel.ring import log_optimal_transport_ring
+
+            log_P = log_optimal_transport_ring(
+                S.astype(jnp.float32),
+                dustbin,
+                axis_name=cfg.ring_axis,
+                num_iters=cfg.otp_num_iters,
+                reg=cfg.otp_reg,
+                mask0=mask0,
+                mask1=mask1,
+            )
+        elif cfg.use_pallas:
             from openglue_tpu.ops.pallas import sinkhorn_kernel
 
             log_P = sinkhorn_kernel.log_optimal_transport(

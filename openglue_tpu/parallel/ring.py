@@ -137,3 +137,64 @@ def sharded_log_sinkhorn(
     log_P_inner = S_inner + u_inner[:, :, None] + v[:, None, :]
     log_P_dust = S_dust_row + u_dust[:, None, None] + v[:, None, :]
     return log_P_inner, log_P_dust
+
+
+def log_optimal_transport_ring(
+    scores: jnp.ndarray,
+    dustbin_score: jnp.ndarray,
+    axis_name: str,
+    num_iters: int = 20,
+    reg: float = 1.0,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Drop-in for ops.sinkhorn.log_optimal_transport with the score-matrix
+    ROWS sharded over ``axis_name`` via shard_map (keypoint-axis context
+    parallelism). scores [B, m, n] must be sharded on axis 1; masks follow.
+    Returns the [B, m+1, n+1] log-assignment with rows sharded the same way
+    (the dustbin row replicated).
+
+    Marginal construction mirrors ops.sinkhorn.log_optimal_transport exactly
+    (including the masked form); the iteration is sharded_log_sinkhorn.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    batch, m, n = scores.shape
+    if mask0 is None:
+        mask0 = jnp.ones((batch, m), dtype=bool)
+    if mask1 is None:
+        mask1 = jnp.ones((batch, n), dtype=bool)
+
+    count0 = jnp.sum(mask0, axis=1).astype(scores.dtype)
+    count1 = jnp.sum(mask1, axis=1).astype(scores.dtype)
+    total = jnp.maximum(count0 + count1, 1.0)
+    norm = -jnp.log(total)  # [B]
+
+    valid_col = jnp.concatenate([mask1, jnp.ones((batch, 1), dtype=bool)], axis=1)
+    # inner rows: [B, m, n+1] — dustbin column appended, masked entries killed
+    S_inner = jnp.concatenate(
+        [scores / reg, jnp.broadcast_to(dustbin_score / reg, (batch, m, 1))], axis=2
+    )
+    pair_valid = mask0[:, :, None] & valid_col[:, None, :]
+    S_inner = jnp.where(pair_valid, S_inner, _NEG_INF)
+    S_dust = jnp.where(
+        valid_col[:, None, :],
+        jnp.broadcast_to(dustbin_score / reg, (batch, 1, n + 1)),
+        _NEG_INF,
+    )
+
+    log_a_inner = jnp.where(mask0, norm[:, None], _NEG_INF)
+    log_a_dust = norm + jnp.log(jnp.maximum(count1, 1.0))
+    log_b = jnp.where(valid_col, norm[:, None], _NEG_INF)
+    log_b = log_b.at[:, -1].set(norm + jnp.log(jnp.maximum(count0, 1.0)))
+
+    fn = jax.shard_map(
+        partial(sharded_log_sinkhorn, axis_name=axis_name, num_iters=num_iters),
+        in_specs=(P(None, axis_name, None), P(None, None, None),
+                  P(None, axis_name), P(None), P(None, None)),
+        out_specs=(P(None, axis_name, None), P(None, None, None)),
+        axis_names={axis_name},
+    )
+    log_P_inner, log_P_dust = fn(S_inner, S_dust, log_a_inner, log_a_dust, log_b)
+    log_P = jnp.concatenate([log_P_inner, log_P_dust], axis=1)
+    return log_P - norm[:, None, None]
