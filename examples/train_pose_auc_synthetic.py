@@ -1,0 +1,96 @@
+"""Train a matcher on synthetic 3D two-view pairs and watch pose AUC rise.
+
+Everything runs on-device: fresh training batches are GENERATED inside the
+jitted epoch (zero host IO in the loop); evaluation decodes matches and runs
+RANSAC pose recovery on held-out pairs — the MegaDepth headline metrics
+without any dataset on disk.
+
+Run: python examples/train_pose_auc_synthetic.py [--epochs 30]
+"""
+
+import argparse
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openglue_tpu.data.synthetic import SyntheticReprojectionPairs
+from openglue_tpu.metrics import CameraPoseAUC, EpipolarDistanceMetric
+from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+from openglue_tpu.train import LossConfig, create_train_state, make_eval_step, make_train_step
+from openglue_tpu.train.step import superglue_inputs
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=30)
+    parser.add_argument("--steps-per-epoch", type=int, default=200)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--kpts", type=int, default=256)
+    args = parser.parse_args()
+
+    gen = SyntheticReprojectionPairs(
+        num_keypoints=args.kpts, descriptor_dim=128, jitter=1.0, descriptor_noise=0.3
+    )
+    cfg = SuperGlueConfig(
+        descriptor_dim=128, pe_hidden_layers_sizes=(32, 64), num_stages=4,
+        num_heads=4, otp_num_iters=15, residual=True,
+    )
+    model = SuperGlue(cfg)
+    init_batch = gen.sample(jax.random.key(999), args.batch)
+    variables = jax.jit(lambda r, b: model.init(r, **superglue_inputs(b)))(
+        jax.random.key(1), init_batch
+    )
+    jax.block_until_ready(variables)
+    state = create_train_state(model.apply, variables, learning_rate=2e-4)
+    step = make_train_step(LossConfig(positive_threshold=3.0, negative_threshold=7.0))
+
+    @partial(jax.jit, static_argnums=2)
+    def train_epoch(state, rng, n_steps):
+        def body(carry, i):
+            s, _ = carry
+            batch = gen.sample(jax.random.fold_in(rng, i), args.batch)
+            s, m = step(s, batch)
+            return (s, m["total_loss"]), m["total_loss"]
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, jnp.zeros(())), jnp.arange(n_steps)
+        )
+        return state, losses
+
+    eval_step = jax.jit(make_eval_step(0.2))
+    held_out = [gen.sample(jax.random.key(10_000 + i), args.batch) for i in range(4)]
+
+    def evaluate(state):
+        auc = CameraPoseAUC()
+        epi = EpipolarDistanceMetric()
+        for batch in held_out:
+            out = eval_step(state, batch)
+            tf = batch.transformation
+            k0 = np.asarray(batch.side0.keypoints)
+            k1 = np.asarray(batch.side1.keypoints)
+            m0 = np.asarray(out["matches0"])
+            auc.update(k0, k1, m0, tf.K0, tf.K1, tf.R, tf.T)
+            epi.update(k0, k1, m0, tf.K0, tf.K1, tf.R, tf.T)
+        return {**auc.compute(), **epi.compute()}
+
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        state, losses = train_epoch(
+            state, jax.random.fold_in(jax.random.key(42), epoch), args.steps_per_epoch
+        )
+        if epoch % 5 == 4 or epoch in (0, args.epochs - 1):
+            res = evaluate(state)
+            print(
+                f"epoch {epoch} (step {(epoch + 1) * args.steps_per_epoch}): "
+                f"loss {float(np.asarray(losses)[-1]):.3f} "
+                + " ".join(f"{k}={v:.3f}" for k, v in res.items()),
+                flush=True,
+            )
+    print(f"total {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
