@@ -5,6 +5,13 @@ Sinkhorn 20 iterations, 1024 keypoints/image — reference
 config/config.yaml:42-55, config/config_cached.yaml:8) in inference mode and
 prints ONE JSON line.
 
+Default behavior: measure the XLA path first (reliable, ~4 min), then attempt
+the faster Pallas-kernel path in a time-boxed subprocess (the axon tunnel's
+one-time remote Mosaic compile costs minutes; normal TPU hosts compile in
+seconds) and report the better result. A SIGTERM/SIGINT after the XLA
+measurement still emits that result, so a harness timeout can never lose the
+number. ``--xla-only`` / ``--pallas`` pin a single path.
+
 Methodology: the per-call dispatch to the TPU behind the axon tunnel costs
 ~40 ms and block_until_ready does not actually synchronize, so timing runs the
 matcher in a device-side fori_loop inside one jit with per-iteration input
@@ -15,32 +22,29 @@ counts (openglue_tpu.profiling.device_timeit).
 CPU (1.7 pairs/s at the same N=1024 flagship config, bench/torch_reference.py;
 the reference repo publishes no numbers of its own — BASELINE.md).
 
-Usage: python bench.py [--batch 16] [--kpts 1024] [--f32] [--pallas]
+Usage: python bench.py [--batch 16] [--kpts 1024] [--f32]
+                       [--pallas | --xla-only] [--pallas-budget-s 1500]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import signal
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
 
+TORCH_CPU_BASELINE_PAIRS_PER_S = 1.7  # bench/torch_reference.py; BASELINE.md
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=16)
-    parser.add_argument("--kpts", type=int, default=1024)
-    parser.add_argument("--iters-low", type=int, default=4)
-    parser.add_argument("--iters-high", type=int, default=16)
-    parser.add_argument("--f32", action="store_true", help="float32 compute (default bf16)")
-    parser.add_argument("--pallas", action="store_true", help="use Pallas kernels")
-    parser.add_argument("--attention", default="softmax")
-    args = parser.parse_args()
 
+def measure(args) -> dict:
     from openglue_tpu.data.synthetic import SyntheticHomographyPairs
     from openglue_tpu.models.matching import decode_matches
     from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+    from openglue_tpu.profiling import device_timeit
     from openglue_tpu.train.step import superglue_inputs
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
@@ -64,8 +68,6 @@ def main():
     variables = init(jax.random.key(1), batch)
     jax.block_until_ready(variables)
 
-    from openglue_tpu.profiling import device_timeit
-
     def run(b):
         out = model.apply(variables, **superglue_inputs(b, train=False))
         return decode_matches(
@@ -80,35 +82,82 @@ def main():
         perturb=perturb,
     )
     pairs_per_sec = args.batch / per_iter
-
-    # measured torch-reference baseline on this host's CPU at N=1024
-    # (bench/torch_reference.py; see BASELINE.md)
-    TORCH_CPU_BASELINE_PAIRS_PER_S = 1.7
     vs_baseline = (
         round(pairs_per_sec / TORCH_CPU_BASELINE_PAIRS_PER_S, 2)
         if args.kpts == 1024
         else 1.0
     )
-    print(
-        json.dumps(
-            {
-                "metric": "image_pairs_matched_per_sec_per_chip",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/s",
-                "vs_baseline": vs_baseline,
-                "detail": {
-                    "device": str(jax.devices()[0]),
-                    "batch": args.batch,
-                    "kpts": args.kpts,
-                    "dtype": "float32" if args.f32 else "bfloat16",
-                    "attention": args.attention,
-                    "pallas": bool(args.pallas),
-                    "ms_per_batch": round(1000 * per_iter, 3),
-                    "baseline": "torch reference CPU same host, 1.7 pairs/s @N=1024",
-                },
-            }
+    return {
+        "metric": "image_pairs_matched_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": vs_baseline,
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "batch": args.batch,
+            "kpts": args.kpts,
+            "dtype": "float32" if args.f32 else "bfloat16",
+            "attention": args.attention,
+            "pallas": bool(args.pallas),
+            "ms_per_batch": round(1000 * per_iter, 3),
+            "baseline": "torch reference CPU same host, 1.7 pairs/s @N=1024",
+        },
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--kpts", type=int, default=1024)
+    parser.add_argument("--iters-low", type=int, default=4)
+    parser.add_argument("--iters-high", type=int, default=16)
+    parser.add_argument("--f32", action="store_true", help="float32 compute (default bf16)")
+    parser.add_argument("--pallas", action="store_true", help="measure ONLY the Pallas path")
+    parser.add_argument("--xla-only", action="store_true", help="skip the Pallas attempt")
+    parser.add_argument("--pallas-budget-s", type=int, default=1500)
+    parser.add_argument("--attention", default="softmax")
+    args = parser.parse_args()
+
+    result: dict = {}
+    emitted = [False]
+
+    def emit():
+        if result and not emitted[0]:
+            emitted[0] = True
+            print(json.dumps(result), flush=True)
+
+    def on_signal(signum, frame):
+        emit()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    result.update(measure(args))
+    if args.pallas or args.xla_only or args.attention != "softmax":
+        emit()
+        return
+
+    # try the Pallas path in a time-boxed subprocess; keep the better result
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--pallas",
+             "--batch", str(args.batch), "--kpts", str(args.kpts)]
+            + (["--f32"] if args.f32 else []),
+            capture_output=True, text=True, timeout=args.pallas_budget_s,
         )
-    )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                candidate = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if candidate.get("value", 0) > result["value"]:
+                result.clear()
+                result.update(candidate)
+            break
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    emit()
 
 
 if __name__ == "__main__":
