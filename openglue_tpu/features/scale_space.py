@@ -10,9 +10,10 @@ data-dependent shapes anywhere, so the whole detector jits and shards.
 Responses: ``dog`` (blob, scale-space response like kornia BlobDoG) and
 ``gftt`` (Shi-Tomasi min-eigenvalue corner response like kornia CornerGFTT).
 Orientation: dominant gradient-histogram orientation on LAF patches
-(LAFOrienter(19) semantics). No quadratic subpixel refinement (the reference
-uses ConvQuadInterp3d; sub-pixel interpolation is a TODO documented here —
-keypoints land on integer grid positions of each octave).
+(LAFOrienter(19) semantics). Sub-pixel refinement: per-axis 1D quadratic fit
+around each maximum (the reference uses kornia ConvQuadInterp3d's full 3D
+Hessian solve; the separable fit matches it to first order and stays branch-
+free on the VPU).
 """
 
 from __future__ import annotations
@@ -142,9 +143,33 @@ def detect_keypoints(
         L = resp.shape[1]
         lvl = top_idx // (h * w)
         rem = top_idx % (h * w)
-        ys = (rem // w).astype(jnp.float32)
-        xs = (rem % w).astype(jnp.float32)
+        ys_i = rem // w
+        xs_i = rem % w
         sig = jnp.take(jnp.asarray(resp_sigmas, jnp.float32), lvl)
+
+        # sub-pixel refinement (the reference uses kornia ConvQuadInterp3d):
+        # 1D quadratic fit per spatial axis around each maximum,
+        # offset = -0.5 (r+ - r-) / (r+ + r- - 2 r0), clamped to +-0.5
+        batch_idx = jnp.arange(batch)[:, None]
+
+        def resp_at(dy, dx):
+            yc = jnp.clip(ys_i + dy, 0, h - 1)
+            xc = jnp.clip(xs_i + dx, 0, w - 1)
+            return resp[batch_idx, lvl, yc, xc]
+
+        r0 = resp_at(0, 0)
+
+        def offset(r_minus, r_plus):
+            denom = r_plus + r_minus - 2.0 * r0
+            off = -0.5 * (r_plus - r_minus) / jnp.where(
+                jnp.abs(denom) > 1e-10, denom, 1.0
+            )
+            return jnp.clip(jnp.where(jnp.abs(denom) > 1e-10, off, 0.0), -0.5, 0.5)
+
+        dx = offset(resp_at(0, -1), resp_at(0, 1))
+        dy = offset(resp_at(-1, 0), resp_at(1, 0))
+        xs = xs_i.astype(jnp.float32) + dx
+        ys = ys_i.astype(jnp.float32) + dy
 
         # back to input-resolution coordinates
         all_xy.append(jnp.stack([xs, ys], -1) * octave_scale)

@@ -195,3 +195,20 @@ def test_detector_tiny_image_returns_invalid():
     lafs, scores, valid = detect_keypoints(img, 10, double_image=False)
     assert lafs.shape == (1, 10, 2, 3)
     assert not bool(valid.any())
+
+
+def test_subpixel_refinement_improves_blob_localization():
+    """Blob centered OFF the pixel grid: the refined keypoint must land
+    closer to the true center than the integer-grid argmax."""
+    h, w = 96, 96
+    cx, cy = 47.4, 50.7  # off-grid center
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * 4.0**2))
+    lafs, scores, valid = detect_keypoints(
+        jnp.asarray(img[None]), 8, response="dog", double_image=False
+    )
+    kpts = np.asarray(lafs[0, :, :, 2])[np.asarray(valid[0])]
+    d = np.linalg.norm(kpts - [cx, cy], axis=1)
+    best = kpts[np.argmin(d)]
+    # sub-pixel: must beat the >= 0.4 px integer-grid error on at least one axis
+    assert abs(best[0] - cx) < 0.35 and abs(best[1] - cy) < 0.35, best
