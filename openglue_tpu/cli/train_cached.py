@@ -128,7 +128,10 @@ def main(argv=None):
 
     train_iter = iter(train_loader)
     first = next(train_iter)
-    variables = model.init(jax.random.key(0), **superglue_inputs(first))
+    # jitted init: eager init dispatches per-op over the tunnel (minutes)
+    init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b)))
+    variables = init(jax.random.key(0), first)
+    jax.block_until_ready(variables)
     state = create_train_state(
         model.apply,
         variables,
@@ -142,9 +145,18 @@ def main(argv=None):
     mesh, shard_batch, shard_train_step, shard_eval_step = common.build_mesh_and_sharding()
     raw_step = make_train_step(common.loss_config_from(config))
     if args.checkify:
-        from openglue_tpu.debugging import checked
+        # checkify composes under jit (single-host debug path; the error
+        # reduction is not mesh-aware, so no DP sharding here)
+        from jax.experimental import checkify as _checkify
 
-        train_step = checked(raw_step)
+        from openglue_tpu.debugging import DEFAULT_CHECKS
+
+        _checked = jax.jit(_checkify.checkify(raw_step, errors=DEFAULT_CHECKS))
+
+        def train_step(state, batch):
+            err, out = _checked(state, batch)
+            _checkify.check_error(err)
+            return out
     else:
         train_step = shard_train_step(raw_step, mesh)
     eval_step_fn = make_eval_step(float(config.get("inference.match_threshold", 0.2)))

@@ -168,6 +168,10 @@ def detect_keypoints(
 
         dx = offset(resp_at(0, -1), resp_at(0, 1))
         dy = offset(resp_at(-1, 0), resp_at(1, 0))
+        # at borders the clipped neighbor duplicates the center, forcing the
+        # offset to +-0.5 OUTWARD (off the image) — keep the grid position
+        dx = jnp.where((xs_i > 0) & (xs_i < w - 1), dx, 0.0)
+        dy = jnp.where((ys_i > 0) & (ys_i < h - 1), dy, 0.0)
         xs = xs_i.astype(jnp.float32) + dx
         ys = ys_i.astype(jnp.float32) + dy
 

@@ -77,14 +77,14 @@ class MatchingModule(nn.Module):
     def setup(self):
         cfg = self.config
         if cfg.extractor_name.startswith("SuperPointNet") or cfg.superpoint is not None:
+            params = dict(cfg.extractor_params)
+            params.pop("bn", None)  # variant name decides; avoid a duplicate kwarg
             sp_cfg = cfg.superpoint or SuperPointConfig(
-                **dict(cfg.extractor_params),
-                **({"bn": True} if cfg.extractor_name == "SuperPointNetBn" else {}),
+                **params, bn=(cfg.extractor_name == "SuperPointNetBn")
             )
             self.extractor = SuperPoint(sp_cfg, name="extractor")
             self._param_free_extractor = None
         else:
-            # parameter-free device extractor from the registry (e.g. SIFT)
             from openglue_tpu.features.registry import DEVICE_EXTRACTORS
 
             if cfg.extractor_name not in DEVICE_EXTRACTORS:
@@ -92,9 +92,16 @@ class MatchingModule(nn.Module):
                     f"MatchingModule requires a device extractor; {cfg.extractor_name!r} "
                     f"is not one of {sorted(DEVICE_EXTRACTORS)}"
                 )
-            self._param_free_extractor = DEVICE_EXTRACTORS[cfg.extractor_name](
-                **dict(cfg.extractor_params)
-            )
+            candidate = DEVICE_EXTRACTORS[cfg.extractor_name](**dict(cfg.extractor_params))
+            if isinstance(candidate, nn.Module):
+                # parameterized registry extractor (e.g. GFTTAffNetHardNet):
+                # adopt as the 'extractor' submodule so the optimizer freeze
+                # mask and stop-gradient semantics apply like SuperPoint's
+                self.extractor = candidate
+                self._param_free_extractor = None
+            else:
+                # parameter-free device extractor (e.g. SIFT)
+                self._param_free_extractor = candidate
         self.superglue = SuperGlue(cfg.superglue, name="superglue")
         self._laf_converter = get_laf_to_sideinfo_converter(cfg.laf_converter)
 

@@ -137,6 +137,8 @@ class SuperGlue(nn.Module):
             favor_num_features=cfg.favor_num_features,
             dtype=dtype,
             use_pallas=cfg.use_pallas,
+            remat=cfg.remat,
+            ring_axis=cfg.ring_axis,
             name="attention_gnn",
         )
         if cfg.no_descriptors:

@@ -65,6 +65,46 @@ def augment_scores(
     return jnp.concatenate([jnp.concatenate([scores, row], axis=1), col], axis=2)
 
 
+def build_masked_otp_inputs(
+    scores: jnp.ndarray,
+    dustbin_score: jnp.ndarray,
+    reg: float,
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+):
+    """Masked marginals/matrix in SPLIT form (inner rows + dustbin row), the
+    single source of truth shared by the XLA path here and the row-sharded
+    ring path (parallel.ring.log_optimal_transport_ring).
+
+    Returns (S_inner [B, m, n+1], S_dust [B, 1, n+1], log_a_inner [B, m],
+    log_a_dust [B], log_b [B, n+1], norm [B]); matrices are already /reg with
+    masked entries at -1e9.
+    """
+    batch, m, n = scores.shape
+    count0 = jnp.sum(mask0, axis=1).astype(scores.dtype)
+    count1 = jnp.sum(mask1, axis=1).astype(scores.dtype)
+    total = jnp.maximum(count0 + count1, 1.0)
+    norm = -jnp.log(total)  # [B]
+
+    valid_col = jnp.concatenate([mask1, jnp.ones((batch, 1), dtype=bool)], axis=1)
+    S_inner = jnp.concatenate(
+        [scores / reg, jnp.broadcast_to(dustbin_score / reg, (batch, m, 1))], axis=2
+    )
+    pair_valid = mask0[:, :, None] & valid_col[:, None, :]
+    S_inner = jnp.where(pair_valid, S_inner, _NEG_INF)
+    S_dust = jnp.where(
+        valid_col[:, None, :],
+        jnp.broadcast_to(dustbin_score / reg, (batch, 1, n + 1)),
+        _NEG_INF,
+    )
+
+    log_a_inner = jnp.where(mask0, norm[:, None], _NEG_INF)
+    log_a_dust = norm + jnp.log(jnp.maximum(count1, 1.0))
+    log_b = jnp.where(valid_col, norm[:, None], _NEG_INF)
+    log_b = log_b.at[:, -1].set(norm + jnp.log(jnp.maximum(count0, 1.0)))
+    return S_inner, S_dust, log_a_inner, log_a_dust, log_b, norm
+
+
 def log_optimal_transport(
     scores: jnp.ndarray,
     dustbin_score: jnp.ndarray,
@@ -98,22 +138,12 @@ def log_optimal_transport(
     if mask1 is None:
         mask1 = jnp.ones((batch, n), dtype=bool)
 
-    count0 = jnp.sum(mask0, axis=1).astype(scores.dtype)  # valid rows per element
-    count1 = jnp.sum(mask1, axis=1).astype(scores.dtype)  # valid cols per element
-    total = jnp.maximum(count0 + count1, 1.0)
-    norm = -jnp.log(total)  # [B]
+    S_inner, S_dust, log_a_inner, log_a_dust, log_b, norm = build_masked_otp_inputs(
+        scores, dustbin_score, reg, mask0, mask1
+    )
+    S_aug = jnp.concatenate([S_inner, S_dust], axis=1)
+    log_a = jnp.concatenate([log_a_inner, log_a_dust[:, None]], axis=1)
 
-    valid_row = jnp.concatenate([mask0, jnp.ones((batch, 1), dtype=bool)], axis=1)
-    valid_col = jnp.concatenate([mask1, jnp.ones((batch, 1), dtype=bool)], axis=1)
-
-    # Kill every entry touching a padded keypoint so no logsumexp sees it.
-    pair_valid = valid_row[:, :, None] & valid_col[:, None, :]
-    S_aug = jnp.where(pair_valid, S_aug, _NEG_INF)
-
-    log_a = jnp.where(valid_row, norm[:, None], _NEG_INF)
-    log_a = log_a.at[:, -1].set(norm + jnp.log(jnp.maximum(count1, 1.0)))
-    log_b = jnp.where(valid_col, norm[:, None], _NEG_INF)
-    log_b = log_b.at[:, -1].set(norm + jnp.log(jnp.maximum(count0, 1.0)))
-
-    log_P = log_sinkhorn(log_a, log_b, S_aug, num_iters=num_iters, reg=reg)
+    # reg already applied by build_masked_otp_inputs
+    log_P = log_sinkhorn(log_a, log_b, S_aug, num_iters=num_iters, reg=1.0)
     return log_P - norm[:, None, None]

@@ -159,34 +159,17 @@ def log_optimal_transport_ring(
     """
     from jax.sharding import PartitionSpec as P
 
+    from openglue_tpu.ops.sinkhorn import build_masked_otp_inputs
+
     batch, m, n = scores.shape
     if mask0 is None:
         mask0 = jnp.ones((batch, m), dtype=bool)
     if mask1 is None:
         mask1 = jnp.ones((batch, n), dtype=bool)
 
-    count0 = jnp.sum(mask0, axis=1).astype(scores.dtype)
-    count1 = jnp.sum(mask1, axis=1).astype(scores.dtype)
-    total = jnp.maximum(count0 + count1, 1.0)
-    norm = -jnp.log(total)  # [B]
-
-    valid_col = jnp.concatenate([mask1, jnp.ones((batch, 1), dtype=bool)], axis=1)
-    # inner rows: [B, m, n+1] — dustbin column appended, masked entries killed
-    S_inner = jnp.concatenate(
-        [scores / reg, jnp.broadcast_to(dustbin_score / reg, (batch, m, 1))], axis=2
+    S_inner, S_dust, log_a_inner, log_a_dust, log_b, norm = build_masked_otp_inputs(
+        scores, dustbin_score, reg, mask0, mask1
     )
-    pair_valid = mask0[:, :, None] & valid_col[:, None, :]
-    S_inner = jnp.where(pair_valid, S_inner, _NEG_INF)
-    S_dust = jnp.where(
-        valid_col[:, None, :],
-        jnp.broadcast_to(dustbin_score / reg, (batch, 1, n + 1)),
-        _NEG_INF,
-    )
-
-    log_a_inner = jnp.where(mask0, norm[:, None], _NEG_INF)
-    log_a_dust = norm + jnp.log(jnp.maximum(count1, 1.0))
-    log_b = jnp.where(valid_col, norm[:, None], _NEG_INF)
-    log_b = log_b.at[:, -1].set(norm + jnp.log(jnp.maximum(count0, 1.0)))
 
     fn = jax.shard_map(
         partial(sharded_log_sinkhorn, axis_name=axis_name, num_iters=num_iters),

@@ -174,9 +174,25 @@ class TestRingInModel:
             variables, batch
         )
 
-        sharded = shard_pair_batch_cp(batch, mesh)
-        with jax.set_mesh(mesh):
-            out = jax.jit(
-                lambda v, b: model_ring.apply(v, **superglue_inputs(b))["scores"]
-            )(variables, sharded)
+        # instrument: the ring schedule must actually be traced (a silent
+        # GSPMD fallback would make this test vacuous)
+        import openglue_tpu.parallel.ring as ring_mod
+
+        calls = [0]
+        orig = ring_mod.ring_softmax_attention
+
+        def spy(*a, **k):
+            calls[0] += 1
+            return orig(*a, **k)
+
+        ring_mod.ring_softmax_attention = spy
+        try:
+            sharded = shard_pair_batch_cp(batch, mesh)
+            with jax.set_mesh(mesh):
+                out = jax.jit(
+                    lambda v, b: model_ring.apply(v, **superglue_inputs(b))["scores"]
+                )(variables, sharded)
+        finally:
+            ring_mod.ring_softmax_attention = orig
+        assert calls[0] == 8, "ring attention not engaged for the 2x(self+cross) layers"
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

@@ -233,3 +233,61 @@ def test_evaluate_online_homography_metric():
     metrics = evaluate_online(state, eval_step, [batch], TrainLoopConfig())
     assert "H-Precision@3.0px" in metrics
     assert 0.0 <= metrics["H-Precision@3.0px"] <= 1.0
+
+
+class TestModuleRegistryExtractors:
+    def test_gftt_hardnet_extractor_frozen_semantics(self):
+        """Parameterized registry extractors must land under 'extractor' and
+        respect the frozen contract (review finding: they silently trained)."""
+        cfg = MatchingModuleConfig.from_dict(
+            {
+                "features": {
+                    "name": "GFTTAffNetHardNet",
+                    "descriptor_dim": 128,
+                    "parameters": {"max_keypoints": 32, "descriptor_dim": 128},
+                },
+                "laf_to_sideinfo_method": "none",
+                "superglue": {
+                    "positional_encoding": {"hidden_layers_sizes": [16]},
+                    "attention_gnn": {"num_stages": 1, "num_heads": 4},
+                    "otp": {"num_iters": 5},
+                    "residual": True,
+                },
+                "train": {"finetune_features_extractor": False},
+            }
+        )
+        model = MatchingModule(cfg)
+        batch = image_pair_batch(h=96, w=128)
+        variables = model.init(jax.random.key(0), batch["image0"], batch["image1"])
+        assert "extractor" in variables["params"], list(variables["params"])
+
+        tx = make_online_optimizer(variables["params"], learning_rate=1e-3,
+                                   finetune_extractor=False)
+        state = create_train_state(model.apply, variables, tx=tx)
+        step = jax.jit(
+            make_online_train_step(LossConfig(positive_threshold=3.0), augmentation="none")
+        )
+        ext_before = jax.tree_util.tree_leaves(state.params["extractor"])[0]
+        state, metrics = step(state, batch, jax.random.key(0))
+        ext_after = jax.tree_util.tree_leaves(state.params["extractor"])[0]
+        np.testing.assert_array_equal(np.asarray(ext_before), np.asarray(ext_after))
+        assert np.isfinite(float(metrics["total_loss"]))
+
+    def test_superpoint_bn_param_in_dict_no_crash(self):
+        cfg = MatchingModuleConfig.from_dict(
+            {
+                "features": {
+                    "name": "SuperPointNetBn",
+                    "parameters": {"max_keypoints": 32, "descriptor_dim": 32, "bn": True},
+                },
+                "superglue": {
+                    "positional_encoding": {"hidden_layers_sizes": [16]},
+                    "attention_gnn": {"num_stages": 1, "num_heads": 4},
+                    "otp": {"num_iters": 4},
+                },
+            }
+        )
+        model = MatchingModule(cfg)
+        batch = image_pair_batch(h=64, w=64)
+        variables = model.init(jax.random.key(0), batch["image0"], batch["image1"])
+        assert "batch_stats" in variables  # the Bn variant really has BNs

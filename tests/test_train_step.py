@@ -142,6 +142,15 @@ def test_remat_training_matches_standard():
     model_remat = SuperGlue(cfg_remat)
     state_remat = state.replace(apply_fn=model_remat.apply)
 
+    # remat must actually appear in the backward graph
+    def loss(params):
+        variables = {"params": params, **state_remat.model_state}
+        out = model_remat.apply(variables, **superglue_inputs(batch))
+        return jnp.sum(out["scores"])
+
+    jaxpr_text = str(jax.make_jaxpr(jax.grad(loss))(state.params))
+    assert "remat" in jaxpr_text or "checkpoint" in jaxpr_text, "remat not engaged"
+
     step = make_train_step(LossConfig(positive_threshold=3.0, negative_threshold=5.0))
     _, m_std = jax.jit(step)(state, batch)
     _, m_rmt = jax.jit(step)(state_remat, batch)
