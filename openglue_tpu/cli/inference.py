@@ -156,7 +156,11 @@ class OpenGlueMatcher:
 
 def initialize_matcher(experiment_dir, checkpoint_step: Optional[int] = None, **kwargs) -> OpenGlueMatcher:
     """Build a matcher from a training experiment directory
-    (reference initialize_models, inference.py:41-78)."""
+    (reference initialize_models, inference.py:41-78).
+
+    Handles both checkpoint layouts: cached training (the state's params ARE
+    the matcher tree) and online training (params = {extractor?, superglue}
+    from the combined MatchingModule)."""
     import jax
 
     experiment_dir = Path(experiment_dir)
@@ -165,15 +169,52 @@ def initialize_matcher(experiment_dir, checkpoint_step: Optional[int] = None, **
 
     matcher = OpenGlueMatcher(config, features_config, variables=None, **kwargs)
 
-    # template init then checkpoint restore (matcher weights live under
-    # params/... of the cached-training state)
     import jax.numpy as jnp
 
     from openglue_tpu.train import create_train_state
-    from openglue_tpu.train.checkpoint import restore_train_state
+    from openglue_tpu.train.checkpoint import latest_step, restore_train_state
     from openglue_tpu.train.step import superglue_inputs
     from openglue_tpu.data.synthetic import SyntheticHomographyPairs
 
+    online_experiment = "features" in config  # pretrain/train.py experiments
+
+    if online_experiment:
+        from openglue_tpu.cli.online import build_matching_module
+
+        from openglue_tpu.train.state import make_online_optimizer
+
+        module = build_matching_module(config, features_config)
+        dummy_hw = tuple(reversed(config.get("data.target_size", [64, 64])))
+        dummy = jnp.zeros((1, *dummy_hw), jnp.float32)
+        variables = module.init(jax.random.key(0), dummy, dummy)
+        # the optimizer structure must match the saved state's (online training
+        # uses the freeze-masked transform)
+        tx = make_online_optimizer(
+            variables["params"],
+            finetune_extractor=bool(config.get("train.finetune_features_extractor", False)),
+        )
+        state = create_train_state(module.apply, variables, tx=tx)
+        state = restore_train_state(
+            experiment_dir / "checkpoints", state, step=checkpoint_step
+        )
+        params = dict(state.params)
+        sg_params = params["superglue"]
+        sg_state = {
+            coll: tree["superglue"]
+            for coll, tree in state.model_state.items()
+            if "superglue" in tree
+        }
+        matcher.variables = {"params": sg_params, **sg_state}
+        if "extractor" in params and matcher.device_extractor:
+            ext_vars = {"params": params["extractor"]}
+            for coll, tree in state.model_state.items():
+                if "extractor" in tree:
+                    ext_vars[coll] = tree["extractor"]
+            matcher.ext_variables = ext_vars
+        return matcher
+
+    # cached training: template init then restore (matcher weights are the
+    # whole params tree)
     descriptor_dim = int(features_config["descriptor_dim"])
     gen = SyntheticHomographyPairs(
         num_keypoints=16,

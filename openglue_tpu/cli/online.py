@@ -88,7 +88,15 @@ def run_online_training(
     from openglue_tpu.train.step import make_online_train_step
 
     model = build_matching_module(config, features_config)
-    log_dir = common.prepare_logging_directory(config, features_config)
+    # pretrain-style configs carry the extractor in config['features']; write
+    # it as the experiment's features_config.yaml so inference/evaluate can
+    # reconstruct the extractor from the experiment dir alone
+    snapshot_features = features_config
+    if snapshot_features is None and config.get("features"):
+        from openglue_tpu.core.config import Config
+
+        snapshot_features = Config(dict(config.get("features")))
+    log_dir = common.prepare_logging_directory(config, snapshot_features)
 
     first = next(iter(train_loader))
     variables = model.init(

@@ -248,3 +248,63 @@ class TestExtractAndInference:
         dy = result["keypoints1"][:, 1] - result["keypoints0"][:, 1]
         assert np.median(np.abs(dy)) < 3.0
         assert abs(np.median(dx) - 6.0) < 3.0
+
+
+@pytest.mark.slow
+class TestInferenceFromOnlineExperiment:
+    def test_pretrain_then_inference(self, tmp_path):
+        """An online (pretrain) experiment dir must be directly usable by the
+        inference CLI: features_config.yaml snapshot + combined-checkpoint
+        restore (review gap: online checkpoints hold {extractor, superglue})."""
+        import cv2
+
+        rng = np.random.default_rng(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        base = np.zeros((192, 256), np.uint8)
+        for _ in range(70):
+            x, y = rng.integers(10, 246), rng.integers(10, 182)
+            cv2.circle(base, (int(x), int(y)), int(rng.integers(3, 8)), int(rng.integers(60, 255)), -1)
+        for i in range(3):
+            cv2.imwrite(str(img_dir / f"{i}.png"), np.roll(base, i * 5, axis=1))
+
+        config = {
+            "data": {
+                "root_path": str(img_dir), "batch_size": 8, "dataloader_workers": 0,
+                "target_size": [256, 192], "warp_offset": 16,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "p", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 2, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 3,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+                "augmentations": {"name": "none"},
+                "finetune_features_extractor": False,
+            },
+            "features": {
+                "name": "SuperPointNet",
+                "descriptor_dim": 32,
+                "parameters": {"max_keypoints": 64, "descriptor_dim": 32},
+                "weights": None,
+            },
+            "superglue": SMALL_SUPERGLUE,
+            "inference": {"match_threshold": 0.0},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, config)
+
+        from openglue_tpu.cli import pretrain_homography
+
+        pretrain_homography.main(["--config", str(cfg_path)])
+        exp = next((tmp_path / "logs" / "p").iterdir())
+        assert (exp / "features_config.yaml").exists()
+
+        from openglue_tpu.cli.inference import initialize_matcher, run_inference
+
+        matcher = initialize_matcher(exp, target_size=(256, 192))
+        result = run_inference(
+            matcher, img_dir / "0.png", img_dir / "1.png", ransac=False
+        )
+        assert result["keypoints0"].shape == result["keypoints1"].shape
+        assert len(result["keypoints0"]) >= 1
