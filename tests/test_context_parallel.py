@@ -196,3 +196,32 @@ class TestRingInModel:
             ring_mod.ring_softmax_attention = orig
         assert calls[0] == 8, "ring attention not engaged for the 2x(self+cross) layers"
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("attention", ["linear", "favor_relu"])
+def test_cp_forward_other_attention_variants(attention):
+    """Keypoint-axis CP must cover the O(N) attention variants too (GSPMD
+    partitions the feature-map einsums; SURVEY §5: all variants in sharded
+    form)."""
+    from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+    from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+    from openglue_tpu.parallel.context_parallel import shard_pair_batch_cp
+    from openglue_tpu.train.step import superglue_inputs
+
+    mesh = make_mesh({"model": 8})
+    cfg = SuperGlueConfig(
+        descriptor_dim=32, pe_hidden_layers_sizes=(16,), num_stages=2,
+        num_heads=4, attention=attention, otp_num_iters=8, residual=True,
+    )
+    model = SuperGlue(cfg)
+    gen = SyntheticHomographyPairs(num_keypoints=64, descriptor_dim=32)
+    batch = gen.sample(jax.random.key(0), 2)
+    variables = model.init(jax.random.key(1), **superglue_inputs(batch))
+    ref = jax.jit(lambda v, b: model.apply(v, **superglue_inputs(b))["scores"])(
+        variables, batch
+    )
+    sharded = shard_pair_batch_cp(batch, mesh)
+    out = jax.jit(lambda v, b: model.apply(v, **superglue_inputs(b))["scores"])(
+        variables, sharded
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
