@@ -280,6 +280,188 @@ def _log_sinkhorn_blocked(
     return out[:, :rows, :cols].astype(M.dtype)
 
 
+def _sinkhorn_bwd_kernel(
+    s_ref, log_a_ref, log_b_ref, g_hbm, out_hbm,
+    dm, u_hist, v_hist, lr_hist, lc_hist, sems,
+    *, num_iters: int,
+):
+    """Adjoint of the unrolled Sinkhorn iteration, entirely in VMEM.
+
+    Forward replay stores the potentials and logsumexps per iteration (tiny);
+    the adjoint loop then walks t = T..1 accumulating
+
+        dM -= A_t ∘ (1 gv_tᵀ)   with A_t = exp(M + u_t − lse_rows_t)
+        gu_t = −A_t · gv_t      (+ rowsum(g) at t = T)
+        dM -= B_t ∘ (gu_t 1ᵀ)   with B_t = exp(M + v_{t−1} − lse_cols_t)
+        gv_{t−1} = −B_tᵀ · gu_t
+
+    into a VMEM scratch initialized to g (the direct out = M + u + v term).
+    g/out live in ANY (HBM) and are DMA'd once each, so VMEM holds one
+    double-buffered M block + one dM scratch (~14 MB at N = 1024).
+
+    Grid step = one batch element. s_ref: [1, Rp, Cp] VMEM (M, already /reg,
+    -1e9 padding); log_a_ref [1, Rp, 1]; log_b_ref [1, 1, Cp]; g_hbm/out_hbm:
+    [B, Rp, Cp] in ANY.
+    """
+    b = pl.program_id(0)
+    M = s_ref[0]
+    log_a = log_a_ref[0]
+    log_b = log_b_ref[0]
+
+    g_in = pltpu.make_async_copy(g_hbm.at[b], dm, sems.at[0])
+    g_in.start()
+
+    def lse_cols(x):  # over columns -> [Rp, 1]
+        m = jnp.max(x, axis=1, keepdims=True)
+        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=1, keepdims=True))
+
+    def lse_rows(x):  # over rows -> [1, Cp]
+        m = jnp.max(x, axis=0, keepdims=True)
+        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
+
+    # forward replay storing potentials + logsumexps (histories are 1-indexed
+    # by iteration t = 1..T at slot t-1)
+    def fwd(t, carry):
+        u, v = carry
+        lc = lse_cols(M + v)
+        u = log_a - lc
+        lr = lse_rows(M + u)
+        v = log_b - lr
+        u_hist[t] = u
+        v_hist[t] = v
+        lr_hist[t] = lr
+        lc_hist[t] = lc
+        return u, v
+
+    u0 = jnp.zeros_like(log_a)
+    v0 = jnp.zeros_like(log_b)
+    jax.lax.fori_loop(0, num_iters, fwd, (u0, v0))
+
+    g_in.wait()
+    g = dm[...]  # the direct dM term; also the source of gu_T / gv_T
+
+    # adjoint first step (t = T) unrolled: gu_T carries the direct rowsum(g)
+    slot = num_iters - 1
+    gv_T = jnp.sum(g, axis=0, keepdims=True)
+    A_T = jnp.exp(M + u_hist[slot] - lr_hist[slot])
+    gu_T = jnp.sum(g, axis=1, keepdims=True) - jnp.sum(
+        A_T * gv_T, axis=1, keepdims=True
+    )
+    dm[...] = dm[...] - A_T * gv_T
+    v_prev = v_hist[slot - 1] if num_iters > 1 else jnp.zeros_like(gv_T)
+    B_T = jnp.exp(M + v_prev - lc_hist[slot])
+    dm[...] = dm[...] - B_T * gu_T
+    gv = -jnp.sum(B_T * gu_T, axis=0, keepdims=True)
+
+    # remaining adjoint steps, t = T-1..1 (slot = t-1)
+    def bwd_rest(i, gv):
+        slot = num_iters - 2 - i
+        A_t = jnp.exp(M + u_hist[slot] - lr_hist[slot])
+        gu = -jnp.sum(A_t * gv, axis=1, keepdims=True)
+        dm[...] = dm[...] - A_t * gv
+        v_prev = jnp.where(
+            slot > 0,
+            v_hist[jnp.maximum(slot - 1, 0)],
+            jnp.zeros_like(gv),
+        )
+        B_t = jnp.exp(M + v_prev - lc_hist[slot])
+        dm[...] = dm[...] - B_t * gu
+        return -jnp.sum(B_t * gu, axis=0, keepdims=True)
+
+    if num_iters > 1:
+        jax.lax.fori_loop(0, num_iters - 1, bwd_rest, gv)
+
+    out_dma = pltpu.make_async_copy(dm, out_hbm.at[b], sems.at[1])
+    out_dma.start()
+    out_dma.wait()
+
+
+def _bwd_fits_vmem(num_rows: int, num_cols: int) -> bool:
+    rp = _round_up(num_rows, 8)
+    cp = _round_up(num_cols, 128)
+    # double-buffered M block + one dM scratch + histories
+    return 3 * rp * cp * 4 + 96 * (rp + cp) * 4 < 15 * 1024 * 1024
+
+
+def _sinkhorn_vjp_kernel_path(
+    scores, dustbin_score, g, num_iters, reg, mask0, mask1, interpret
+):
+    """dL/d(scores, dustbin) via the adjoint kernel. g: [B, m+1, n+1] upstream
+    cotangent of the FINAL log_P (the -norm rescale adds nothing)."""
+    batch, m, n = scores.shape
+    rp, cp = _round_up(m + 1, 8), _round_up(n + 1, 128)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    # rebuild M exactly as the forward did (shared marginal builder)
+    if mask0 is None and mask1 is None:
+        S_aug = sinkhorn_ref.augment_scores(scores, dustbin_score) / reg
+        norm = -jnp.log(jnp.asarray(n + m, dtype=scores.dtype))
+        log_a = jnp.full((m + 1,), norm).at[-1].add(jnp.log(jnp.asarray(n, scores.dtype)))
+        log_b = jnp.full((n + 1,), norm).at[-1].add(jnp.log(jnp.asarray(m, scores.dtype)))
+        log_a = jnp.broadcast_to(log_a, (batch, m + 1))
+        log_b = jnp.broadcast_to(log_b, (batch, n + 1))
+        pair_valid = jnp.ones((batch, m + 1, n + 1), dtype=bool)
+    else:
+        mask0_ = mask0 if mask0 is not None else jnp.ones((batch, m), dtype=bool)
+        mask1_ = mask1 if mask1 is not None else jnp.ones((batch, n), dtype=bool)
+        S_inner, S_dust, log_a_inner, log_a_dust, log_b, _ = (
+            sinkhorn_ref.build_masked_otp_inputs(scores, dustbin_score, reg, mask0_, mask1_)
+        )
+        S_aug = jnp.concatenate([S_inner, S_dust], axis=1)
+        log_a = jnp.concatenate([log_a_inner, log_a_dust[:, None]], axis=1)
+        valid_row = jnp.concatenate([mask0_, jnp.ones((batch, 1), bool)], axis=1)
+        valid_col = jnp.concatenate([mask1_, jnp.ones((batch, 1), bool)], axis=1)
+        pair_valid = valid_row[:, :, None] & valid_col[:, None, :]
+
+    M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
+    M_pad = M_pad.at[:, : m + 1, : n + 1].set(S_aug.astype(jnp.float32))
+    la = jnp.full((batch, rp, 1), _NEG_INF, jnp.float32)
+    la = la.at[:, : m + 1, 0].set(log_a.astype(jnp.float32))
+    lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
+    lb = lb.at[:, 0, : n + 1].set(log_b.astype(jnp.float32))
+    # Cotangents on masked entries are zeroed: every loss in this framework
+    # reads only valid entries (the NLL touches matched + dustbin cells), and
+    # the reference's gradient through masked -1e9 logits is garbage-magnitude
+    # (~1e9 upstream values) that would otherwise amplify through the adjoint.
+    g_pad = jnp.zeros((batch, rp, cp), jnp.float32)
+    g_pad = g_pad.at[:, : m + 1, : n + 1].set(
+        jnp.where(pair_valid, g.astype(jnp.float32), 0.0)
+    )
+
+    kernel = functools.partial(_sinkhorn_bwd_kernel, num_iters=num_iters)
+    dm = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((batch, rp, cp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rp, cp), jnp.float32),
+            pltpu.VMEM((num_iters, rp, 1), jnp.float32),
+            pltpu.VMEM((num_iters, 1, cp), jnp.float32),
+            pltpu.VMEM((num_iters, 1, cp), jnp.float32),
+            pltpu.VMEM((num_iters, rp, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(M_pad, la, lb, g_pad)
+
+    dS_aug = dm[:, : m + 1, : n + 1] / reg
+    dS_aug = jnp.where(pair_valid, dS_aug, 0.0)  # masked entries get no grad
+    dscores = dS_aug[:, :m, :n].astype(scores.dtype)
+    ddustbin = (
+        jnp.sum(dS_aug[:, m, :]) + jnp.sum(dS_aug[:, :m, n])
+    ).astype(jnp.asarray(dustbin_score).dtype)
+    return dscores, ddustbin
+
+
 def log_optimal_transport(
     scores: jnp.ndarray,
     dustbin_score: jnp.ndarray,
@@ -306,6 +488,11 @@ def log_optimal_transport(
 
     def f_bwd(residuals, g):
         s, d = residuals
+        b, m, n = s.shape
+        if _bwd_fits_vmem(m + 1, n + 1):
+            return _sinkhorn_vjp_kernel_path(
+                s, d, g, num_iters, reg, mask0, mask1, interpret
+            )
         _, vjp = jax.vjp(
             lambda s_, d_: sinkhorn_ref.log_optimal_transport(
                 s_, d_, num_iters, reg, mask0, mask1

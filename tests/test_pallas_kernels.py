@@ -96,7 +96,9 @@ class TestSinkhornKernel:
         gk = jax.grad(loss_kernel, argnums=(0, 1))(scores, dustbin)
         gr = jax.grad(loss_ref, argnums=(0, 1))(scores, dustbin)
         for a, b in zip(gk, gr):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+            # rtol covers the large-magnitude dustbin scalar (f32 summation
+            # order differs between the adjoint kernel and XLA autodiff)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
 
     def test_vmem_dispatch_boundary(self):
         # N=2048 exceeds VMEM -> blocked streaming kernel; N=1024 fits.
@@ -169,3 +171,49 @@ class TestAttentionBackwardKernel:
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+class TestSinkhornBackwardKernel:
+    def test_masked_gradients_match_reference(self):
+        """Loss over VALID entries only (every real loss reads only those; a
+        loss touching masked -1e9 logits has garbage-magnitude gradients in
+        the reference too)."""
+        scores = rand(0, 2, 24, 30)
+        dustbin = jnp.asarray(0.8)
+        mask0 = jnp.arange(24)[None, :] < jnp.asarray([18, 24])[:, None]
+        mask1 = jnp.arange(30)[None, :] < jnp.asarray([30, 22])[:, None]
+        vr = jnp.concatenate([mask0, jnp.ones((2, 1), bool)], 1)
+        vc = jnp.concatenate([mask1, jnp.ones((2, 1), bool)], 1)
+        valid = vr[:, :, None] & vc[:, None, :]
+
+        def make_loss(fn):
+            def loss(s, d):
+                out = fn(s, d, num_iters=10, mask0=mask0, mask1=mask1)
+                return jnp.sum(jnp.where(valid, out, 0.0) ** 2)
+            return loss
+
+        gk = jax.grad(make_loss(sinkhorn_kernel.log_optimal_transport), argnums=(0, 1))(
+            scores, dustbin
+        )
+        gr = jax.grad(make_loss(sink_ref.log_optimal_transport), argnums=(0, 1))(
+            scores, dustbin
+        )
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
+
+    def test_single_iteration_gradients(self):
+        # edge case: T=1 (the unrolled first adjoint step IS the whole loop)
+        scores = rand(1, 1, 16, 20)
+        dustbin = jnp.asarray(1.0)
+
+        def loss_kernel(s):
+            return jnp.sum(sinkhorn_kernel.log_optimal_transport(s, dustbin, num_iters=1) ** 2)
+
+        def loss_ref(s):
+            return jnp.sum(sink_ref.log_optimal_transport(s, dustbin, num_iters=1) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_kernel)(scores)),
+            np.asarray(jax.grad(loss_ref)(scores)),
+            rtol=1e-5, atol=1e-4,
+        )
