@@ -319,18 +319,20 @@ def _sinkhorn_bwd_kernel(
         m = jnp.max(x, axis=0, keepdims=True)
         return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
 
-    # forward replay storing potentials + logsumexps (histories are 1-indexed
-    # by iteration t = 1..T at slot t-1)
+    # forward replay storing potentials + logsumexps. Row-shaped vectors
+    # ([Rp, 1]) are stored TRANSPOSED as [1, Rp]: a [T, Rp, 1] VMEM buffer
+    # pads each row to 128 lanes (~10 MB at T=20, Rp=1032) while [T, 1, Rp]
+    # stays lane-major (~0.7 MB).
     def fwd(t, carry):
         u, v = carry
         lc = lse_cols(M + v)
         u = log_a - lc
         lr = lse_rows(M + u)
         v = log_b - lr
-        u_hist[t] = u
+        u_hist[t] = jnp.transpose(u)
         v_hist[t] = v
         lr_hist[t] = lr
-        lc_hist[t] = lc
+        lc_hist[t] = jnp.transpose(lc)
         return u, v
 
     u0 = jnp.zeros_like(log_a)
@@ -343,20 +345,20 @@ def _sinkhorn_bwd_kernel(
     # adjoint first step (t = T) unrolled: gu_T carries the direct rowsum(g)
     slot = num_iters - 1
     gv_T = jnp.sum(g, axis=0, keepdims=True)
-    A_T = jnp.exp(M + u_hist[slot] - lr_hist[slot])
+    A_T = jnp.exp(M + jnp.transpose(u_hist[slot]) - lr_hist[slot])
     gu_T = jnp.sum(g, axis=1, keepdims=True) - jnp.sum(
         A_T * gv_T, axis=1, keepdims=True
     )
     dm[...] = dm[...] - A_T * gv_T
     v_prev = v_hist[slot - 1] if num_iters > 1 else jnp.zeros_like(gv_T)
-    B_T = jnp.exp(M + v_prev - lc_hist[slot])
+    B_T = jnp.exp(M + v_prev - jnp.transpose(lc_hist[slot]))
     dm[...] = dm[...] - B_T * gu_T
     gv = -jnp.sum(B_T * gu_T, axis=0, keepdims=True)
 
     # remaining adjoint steps, t = T-1..1 (slot = t-1)
     def bwd_rest(i, gv):
         slot = num_iters - 2 - i
-        A_t = jnp.exp(M + u_hist[slot] - lr_hist[slot])
+        A_t = jnp.exp(M + jnp.transpose(u_hist[slot]) - lr_hist[slot])
         gu = -jnp.sum(A_t * gv, axis=1, keepdims=True)
         dm[...] = dm[...] - A_t * gv
         v_prev = jnp.where(
@@ -364,7 +366,7 @@ def _sinkhorn_bwd_kernel(
             v_hist[jnp.maximum(slot - 1, 0)],
             jnp.zeros_like(gv),
         )
-        B_t = jnp.exp(M + v_prev - lc_hist[slot])
+        B_t = jnp.exp(M + v_prev - jnp.transpose(lc_hist[slot]))
         dm[...] = dm[...] - B_t * gu
         return -jnp.sum(B_t * gu, axis=0, keepdims=True)
 
@@ -443,10 +445,10 @@ def _sinkhorn_vjp_kernel_path(
         out_shape=jax.ShapeDtypeStruct((batch, rp, cp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rp, cp), jnp.float32),
-            pltpu.VMEM((num_iters, rp, 1), jnp.float32),
-            pltpu.VMEM((num_iters, 1, cp), jnp.float32),
-            pltpu.VMEM((num_iters, 1, cp), jnp.float32),
-            pltpu.VMEM((num_iters, rp, 1), jnp.float32),
+            pltpu.VMEM((num_iters, 1, rp), jnp.float32),  # u (transposed)
+            pltpu.VMEM((num_iters, 1, cp), jnp.float32),  # v
+            pltpu.VMEM((num_iters, 1, cp), jnp.float32),  # lse_rows
+            pltpu.VMEM((num_iters, 1, rp), jnp.float32),  # lse_cols (transposed)
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
