@@ -170,27 +170,108 @@ def translation_angle_deg(t_est: np.ndarray, t_gt: np.ndarray, eps=1e-10) -> flo
     return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
 
 
+def pose_error_from_essential(
+    E: np.ndarray,
+    inlier_mask: Optional[np.ndarray],
+    pts0n: np.ndarray,
+    pts1n: np.ndarray,
+    R_gt: np.ndarray,
+    T_gt: np.ndarray,
+) -> float:
+    """Decompose a stacked [3k, 3] essential-matrix candidate set and score the
+    cheirality-best solution against the GT pose.
+
+    Reference semantics (utils/metrics.py:104-120): for each 3-row E chunk,
+    choose the (R, t) decomposition with the most points triangulating in
+    front of both cameras, keep the chunk with the MOST such points (strict >,
+    first chunk wins ties), and only then compute the pose error — NOT the
+    minimum GT error across chunks (that would be oracle selection).
+    cv2.recoverPose returns exactly that cheiral-inlier count as its retval
+    and already picks the best of the 4 decompositions per chunk.
+    """
+    import cv2
+
+    E = np.asarray(E, dtype=np.float64)
+    best_n = -1
+    best_Rt = None
+    for i in range(0, E.shape[0], 3):
+        n_cheiral, R_est, t_est, _ = cv2.recoverPose(
+            E[i : i + 3],
+            pts0n.astype(np.float64),
+            pts1n.astype(np.float64),
+            np.eye(3),
+            mask=inlier_mask.copy() if inlier_mask is not None else None,
+        )
+        if n_cheiral > best_n:
+            best_n = n_cheiral
+            best_Rt = (R_est, t_est)
+    if best_Rt is None:
+        return float("inf")
+    R_est, t_est = best_Rt
+    return max(
+        rotation_angle_deg(R_est, R_gt),
+        translation_angle_deg(t_est, T_gt),
+    )
+
+
 class CameraPoseAUC:
     """RANSAC pose AUC@{5,10,20}° (reference utils/metrics.py:55-141).
 
     Per pair: normalized matched keypoints -> cv2.findEssentialMat(RANSAC,
-    prob .99999, threshold scaled by mean focal length) -> recoverPose
-    (cheirality-best solution; replaces the reference's per-3-row kornia
-    decomposition loop, metrics.py:101-117) -> pose error =
-    max(∠R, ∠T) -> AUC via trapezoid on the sorted error-recall curve.
+    prob .99999, threshold scaled by mean focal length) -> recoverPose on each
+    3-row E chunk, selecting the chunk with the most cheiral points (reference
+    metrics.py:104-117) -> pose error = max(∠R, ∠T), inf when <5 matches or E
+    estimation fails (reference metrics.py:102/121) -> AUC via trapezoid on
+    the sorted error-recall curve.
+
+    ``workers > 1`` runs the per-pair OpenCV RANSAC calls in a thread pool
+    (cv2 releases the GIL) so batched evaluation does not serialize on the
+    host — SURVEY §7's "host-side pose estimation without stalling the
+    pipeline".
     """
 
-    def __init__(self, auc_thresholds=(5.0, 10.0, 20.0), ransac_thresh_px: float = 0.5):
+    def __init__(
+        self,
+        auc_thresholds=(5.0, 10.0, 20.0),
+        ransac_thresh_px: float = 0.5,
+        workers: int = 8,
+    ):
         self.auc_thresholds = tuple(auc_thresholds)
         self.ransac_thresh_px = ransac_thresh_px
+        self.workers = workers
         self.reset()
 
     def reset(self) -> None:
         self.pose_errors: List[float] = []
 
-    def update(self, kpts0, kpts1, matches0, K0, K1, R, T) -> None:
+    def _pose_error_single(self, kpts0, kpts1, matches0, K0, K1, R, T) -> float:
         import cv2
 
+        valid = matches0 >= 0
+        if valid.sum() < 5:
+            return float("inf")
+        pts0 = kpts0[valid]
+        pts1 = kpts1[matches0[valid]]
+        # normalize to calibrated coords (reference metrics.py:87-90)
+        pts0n = (pts0 - K0[:2, 2]) / np.array([K0[0, 0], K0[1, 1]])
+        pts1n = (pts1 - K1[:2, 2]) / np.array([K1[0, 0], K1[1, 1]])
+        # RANSAC threshold in normalized units: px / mean focal
+        # (reference metrics.py:93-94)
+        mean_focal = np.mean([K0[0, 0], K0[1, 1], K1[0, 0], K1[1, 1]])
+        thresh = self.ransac_thresh_px / mean_focal
+        E, inlier_mask = cv2.findEssentialMat(
+            pts0n.astype(np.float64),
+            pts1n.astype(np.float64),
+            np.eye(3),
+            method=cv2.RANSAC,
+            prob=0.99999,
+            threshold=thresh,
+        )
+        if E is None:
+            return float("inf")
+        return pose_error_from_essential(E, inlier_mask, pts0n, pts1n, R, T)
+
+    def update(self, kpts0, kpts1, matches0, K0, K1, R, T) -> None:
         kpts0 = np.asarray(kpts0)
         kpts1 = np.asarray(kpts1)
         matches0 = np.asarray(matches0)
@@ -199,46 +280,19 @@ class CameraPoseAUC:
         R = np.asarray(R)
         T = np.asarray(T)
 
-        for b in range(kpts0.shape[0]):
-            valid = matches0[b] >= 0
-            if valid.sum() < 5:
-                self.pose_errors.append(180.0)
-                continue
-            pts0 = kpts0[b][valid]
-            pts1 = kpts1[b][matches0[b][valid]]
-            # normalize to calibrated coords (reference metrics.py:87-90)
-            pts0n = (pts0 - K0[b][:2, 2]) / np.array([K0[b][0, 0], K0[b][1, 1]])
-            pts1n = (pts1 - K1[b][:2, 2]) / np.array([K1[b][0, 0], K1[b][1, 1]])
-            # RANSAC threshold in normalized units: px / mean focal
-            # (reference metrics.py:93-94)
-            mean_focal = np.mean([K0[b][0, 0], K0[b][1, 1], K1[b][0, 0], K1[b][1, 1]])
-            thresh = self.ransac_thresh_px / mean_focal
-            E, inlier_mask = cv2.findEssentialMat(
-                pts0n.astype(np.float64),
-                pts1n.astype(np.float64),
-                np.eye(3),
-                method=cv2.RANSAC,
-                prob=0.99999,
-                threshold=thresh,
-            )
-            if E is None:
-                self.pose_errors.append(180.0)
-                continue
-            best = None
-            for i in range(0, E.shape[0], 3):
-                _, R_est, t_est, _ = cv2.recoverPose(
-                    E[i : i + 3],
-                    pts0n.astype(np.float64),
-                    pts1n.astype(np.float64),
-                    np.eye(3),
-                    mask=inlier_mask.copy() if inlier_mask is not None else None,
-                )
-                err = max(
-                    rotation_angle_deg(R_est, R[b]),
-                    translation_angle_deg(t_est, T[b]),
-                )
-                best = err if best is None else min(best, err)
-            self.pose_errors.append(best if best is not None else 180.0)
+        batch = kpts0.shape[0]
+        args = [
+            (kpts0[b], kpts1[b], matches0[b], K0[b], K1[b], R[b], T[b])
+            for b in range(batch)
+        ]
+        if self.workers > 1 and batch > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                errors = list(pool.map(lambda a: self._pose_error_single(*a), args))
+        else:
+            errors = [self._pose_error_single(*a) for a in args]
+        self.pose_errors.extend(errors)
 
     def sync(self) -> None:
         """Gather pose errors across hosts; no-op single-host."""

@@ -95,7 +95,8 @@ def test_pose_auc_degrades_with_noise():
     assert auc.pose_errors[0] > 2.0
 
 
-def test_pose_auc_too_few_matches_is_180():
+def test_pose_auc_too_few_matches_is_inf():
+    """<5 matches appends inf, matching reference utils/metrics.py:121."""
     kpts0, kpts1, K, R, T = synthetic_two_view(n=10)
     matches0 = np.full(10, -1)
     matches0[:3] = np.arange(3)
@@ -103,7 +104,49 @@ def test_pose_auc_too_few_matches_is_180():
     auc.update(
         kpts0[None], kpts1[None], matches0[None], K[None], K[None], R[None], T[None]
     )
-    assert auc.pose_errors == [180.0]
+    assert auc.pose_errors == [float("inf")]
+    # inf entries count toward recall's denominator but never to the area
+    assert auc.compute()["AUC@20deg"] == 0.0
+
+
+def _rot_y(angle):
+    return np.array(
+        [
+            [np.cos(angle), 0, np.sin(angle)],
+            [0, 1, 0],
+            [-np.sin(angle), 0, np.cos(angle)],
+        ]
+    )
+
+
+def test_pose_error_selects_by_cheirality_not_oracle_min():
+    """Multi-solution E stack: the chunk consistent with the matches (most
+    cheiral points) must be scored — not the chunk that happens to minimize
+    the GT error (reference utils/metrics.py:104-117 chooses by
+    best_solution_n_points BEFORE scoring)."""
+    from openglue_tpu.metrics import pose_error_from_essential
+
+    kpts0, kpts1, K, R1, T1 = synthetic_two_view(n=100)
+    pts0n = (kpts0 - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    pts1n = (kpts1 - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+
+    # GT pose handed to the metric is 150 deg away from the pose that actually
+    # produced the correspondences (large enough that triangulating the true
+    # matches under the wrong E puts ~half the points behind a camera).
+    R2 = R1 @ _rot_y(np.deg2rad(150.0))
+    T2 = T1
+    E_consistent = np.asarray(essential_from_Rt(jnp.asarray(R1)[None], jnp.asarray(T1)[None]))[0]
+    E_zero_error = np.asarray(essential_from_Rt(jnp.asarray(R2)[None], jnp.asarray(T2)[None]))[0]
+
+    # Put the zero-GT-error (but match-inconsistent) chunk FIRST: oracle-min
+    # selection would return ~0 here; cheirality selection must return ~150.
+    E_stack = np.concatenate([E_zero_error, E_consistent], axis=0)
+    err = pose_error_from_essential(E_stack, None, pts0n, pts1n, R2, T2)
+    assert 140.0 < err <= 180.0, err
+
+    # Sanity: with the consistent pose as GT, the same stack scores ~0.
+    err0 = pose_error_from_essential(E_stack, None, pts0n, pts1n, R1, T1)
+    assert err0 < 1.0, err0
 
 
 def test_homography_precision_metric():
