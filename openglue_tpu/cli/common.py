@@ -82,6 +82,12 @@ def loop_config_from(config: Config, log_dir: Optional[Path]):
         eval_threshold=float(ev.get("epipolar_dist_threshold", 5e-4)),
         pose_auc_thresholds=tuple(ev.get("camera_auc_thresholds", (5.0, 10.0, 20.0))),
         ransac_thresh_px=float(ev.get("camera_auc_ransac_inliers_threshold", 1.0)),
+        # W&B adapter (reference utils/train_utils.py:58-60): enabled via
+        # logging.wandb, no-op when the wandb package is not installed.
+        wandb_enabled=bool(config.get("logging.wandb", False)),
+        wandb_project=str(config.get("logging.wandb_project", "superglue")),
+        wandb_run_name=log_dir.name if log_dir else None,
+        config_snapshot=config.to_dict() if hasattr(config, "to_dict") else None,
     )
 
 

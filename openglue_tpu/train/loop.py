@@ -33,6 +33,12 @@ class TrainLoopConfig:
     favor_redraw_interval: Optional[int] = None  # steps; None = never
     checkpoint_dir: Optional[str] = None
     log_dir: Optional[str] = None
+    # W&B adapter (reference utils/train_utils.py:54-60 dual-logs TB + W&B).
+    # Import-gated: silently disabled when the wandb package is absent.
+    wandb_enabled: bool = False
+    wandb_project: str = "superglue"
+    wandb_run_name: Optional[str] = None
+    config_snapshot: Optional[dict] = None  # uploaded to the run config, rank 0
     eval_threshold: float = 5e-4
     pose_auc_thresholds: tuple = (5.0, 10.0, 20.0)
     ransac_thresh_px: float = 0.5
@@ -44,26 +50,64 @@ def _is_main_host() -> bool:
 
 
 class MetricsLogger:
-    """TensorBoard writer (reference utils/train_utils.py:54-60), rank-0 only."""
+    """TB + optional W&B dual logger (reference utils/train_utils.py:54-60),
+    rank-0 only. W&B mirrors the reference's ``WandbLogger(project="superglue")``
+    with the config uploaded from rank 0; the import is gated so environments
+    without the wandb package (like this one) silently fall back to TB-only."""
 
-    def __init__(self, log_dir: Optional[str]):
+    def __init__(
+        self,
+        log_dir: Optional[str],
+        wandb_enabled: bool = False,
+        wandb_project: str = "superglue",
+        wandb_run_name: Optional[str] = None,
+        config_snapshot: Optional[dict] = None,
+    ):
         self.writer = None
-        if log_dir and _is_main_host():
+        self.wandb_run = None
+        if not _is_main_host():
+            return
+        if log_dir:
             try:
                 from tensorboardX import SummaryWriter
 
                 self.writer = SummaryWriter(log_dir)
             except ImportError:
                 pass
+        if wandb_enabled:
+            try:
+                import wandb
+
+                self.wandb_run = wandb.init(
+                    project=wandb_project,
+                    name=wandb_run_name,
+                    config=config_snapshot or {},
+                )
+            except Exception:  # package absent, offline, or auth failure
+                self.wandb_run = None
+
+    @classmethod
+    def from_config(cls, config: "TrainLoopConfig") -> "MetricsLogger":
+        return cls(
+            config.log_dir,
+            wandb_enabled=config.wandb_enabled,
+            wandb_project=config.wandb_project,
+            wandb_run_name=config.wandb_run_name,
+            config_snapshot=config.config_snapshot,
+        )
 
     def log(self, tag_values: Dict[str, float], step: int) -> None:
         if self.writer:
             for tag, value in tag_values.items():
                 self.writer.add_scalar(tag, value, step)
+        if self.wandb_run:
+            self.wandb_run.log(dict(tag_values), step=step)
 
     def close(self) -> None:
         if self.writer:
             self.writer.close()
+        if self.wandb_run:
+            self.wandb_run.finish()
 
 
 def evaluate(
@@ -150,7 +194,7 @@ def fit(
 ) -> MatcherTrainState:
     """Drive training. train_batches yields host batches (infinite ok);
     shard_fn places them on the mesh. Returns the final state."""
-    logger = MetricsLogger(config.log_dir)
+    logger = MetricsLogger.from_config(config)
     rng = jax.random.key(config.seed)
     train_iter = iter(train_batches)
     # host-side step counter: reading state.step every step would force a

@@ -98,3 +98,67 @@ class TestBf16Training:
             state, metrics = step(state, batch)
         assert float(metrics["total_loss"]) < float(m0["total_loss"])
         assert np.isfinite(float(metrics["total_loss"]))
+
+
+class TestWandbAdapter:
+    """Gated W&B logging (reference utils/train_utils.py:54-60)."""
+
+    def test_noop_when_wandb_absent(self, tmp_path):
+        from openglue_tpu.train.loop import MetricsLogger
+
+        logger = MetricsLogger(str(tmp_path / "tb"), wandb_enabled=True)
+        assert logger.wandb_run is None  # wandb not installed in this env
+        logger.log({"train/loss": 1.0}, 0)  # must not raise
+        logger.close()
+
+    def test_fake_wandb_receives_config_and_logs(self, tmp_path, monkeypatch):
+        import sys
+        import types
+
+        from openglue_tpu.train.loop import MetricsLogger
+
+        calls = {"logs": []}
+
+        class FakeRun:
+            def log(self, values, step=None):
+                calls["logs"].append((dict(values), step))
+
+            def finish(self):
+                calls["finished"] = True
+
+        fake = types.ModuleType("wandb")
+
+        def init(project=None, name=None, config=None):
+            calls["init"] = {"project": project, "name": name, "config": config}
+            return FakeRun()
+
+        fake.init = init
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+
+        logger = MetricsLogger(
+            None,
+            wandb_enabled=True,
+            wandb_project="superglue",
+            wandb_run_name="exp1",
+            config_snapshot={"train": {"epochs": 1}},
+        )
+        logger.log({"train/loss": 0.5}, 3)
+        logger.close()
+        assert calls["init"] == {
+            "project": "superglue",
+            "name": "exp1",
+            "config": {"train": {"epochs": 1}},
+        }
+        assert calls["logs"] == [({"train/loss": 0.5}, 3)]
+        assert calls.get("finished")
+
+    def test_loop_config_plumbs_wandb_fields(self, tmp_path):
+        from openglue_tpu.cli.common import loop_config_from
+        from openglue_tpu.core.config import Config
+
+        cfg = Config({"logging": {"wandb": True, "wandb_project": "p"}, "train": {}})
+        loop_cfg = loop_config_from(cfg, tmp_path / "exp_name")
+        assert loop_cfg.wandb_enabled is True
+        assert loop_cfg.wandb_project == "p"
+        assert loop_cfg.wandb_run_name == "exp_name"
+        assert loop_cfg.config_snapshot["logging"]["wandb"] is True
