@@ -75,6 +75,9 @@ def main(argv=None):
         max_pairs_per_scene=data.get("val_max_pairs_per_scene"),
     )
     num_kpts = int(data.get("max_keypoints", 1024))
+    # data.buckets: bucketed padding, same contract as the train_cached CLI.
+    buckets = data.get("buckets")
+    buckets = tuple(int(b) for b in buckets) if buckets else None
     batch_size = max(int(data.get("batch_size", 8)) // jax.process_count(), 1)
     length = len(dataset)
     if args.max_pairs is not None:
@@ -87,6 +90,7 @@ def main(argv=None):
             target_num_keypoints=num_kpts,
             random=False,
             laf_converter=laf_converter,
+            buckets=buckets,
         ),
         sampler=iter(ShardedSequentialSampler(length)),
         num_workers=int(data.get("dataloader_workers", 2)),
@@ -118,6 +122,7 @@ def main(argv=None):
                 target_num_keypoints=num_kpts,
                 random=False,
                 laf_converter=laf_converter,
+                buckets=buckets,
             ),
             sampler=iter(ShardedSequentialSampler(length)),
             num_workers=int(data.get("dataloader_workers", 2)),

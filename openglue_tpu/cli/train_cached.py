@@ -43,6 +43,11 @@ def build_dataloaders(config, laf_converter):
         return [s.strip() for s in p.read_text().splitlines() if s.strip()]
 
     num_kpts = int(data.get("max_keypoints", 1024))
+    # data.buckets: [256, 512, 1024] pads each batch to the smallest bucket
+    # that fits its largest keypoint count (one XLA program per bucket) —
+    # sparse batches run on smaller graphs (data/bucketing.py).
+    buckets = data.get("buckets")
+    buckets = tuple(int(b) for b in buckets) if buckets else None
     global_batch = int(data["batch_size"])
     start, stop = local_batch_slice(global_batch)
     local_batch = stop - start
@@ -68,6 +73,7 @@ def build_dataloaders(config, laf_converter):
             target_num_keypoints=num_kpts,
             random=True,
             laf_converter=laf_converter,
+            buckets=buckets,
         ),
         sampler=iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
         num_workers=int(data.get("dataloader_workers", 2)),
@@ -80,6 +86,7 @@ def build_dataloaders(config, laf_converter):
             target_num_keypoints=num_kpts,
             random=False,
             laf_converter=laf_converter,
+            buckets=buckets,
         ),
         sampler=iter(ShardedSequentialSampler(len(val_ds))),
         num_workers=int(data.get("dataloader_workers", 2)),

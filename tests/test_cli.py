@@ -308,3 +308,68 @@ class TestInferenceFromOnlineExperiment:
         )
         assert result["keypoints0"].shape == result["keypoints1"].shape
         assert len(result["keypoints0"]) >= 1
+
+
+@pytest.mark.slow
+class TestBucketedPaddingCLI:
+    """data.buckets wires bucketed padding (data/bucketing.py) through the
+    cached-training CLI: each batch pads to the smallest bucket that fits its
+    largest keypoint count instead of always max_keypoints."""
+
+    def _config(self, tmp_path):
+        return {
+            "data": {
+                "root_path": str(tmp_path),
+                "train_list_path": "train_list.txt",
+                "val_list_path": "val_list.txt",
+                "features_dir": "features_cache",
+                "max_keypoints": 64,
+                "buckets": [16, 64],
+                "batch_size": 8,
+                "dataloader_workers": 0,
+                "target_size": list(TARGET_CACHED),
+                "val_max_pairs_per_scene": 8,
+                "train_pairs_overlap": None,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "t", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 2, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 5,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+            },
+            "evaluation": {"epipolar_dist_threshold": 5.0e-4, "camera_auc_thresholds": [5, 10, 20],
+                           "camera_auc_ransac_inliers_threshold": 1.0},
+            "inference": {"match_threshold": 0.2},
+            "superglue": SMALL_SUPERGLUE,
+        }
+
+    def test_two_buckets_exercised(self, tmp_path):
+        # scene_a has ~50 kpts/image (-> bucket 64), scene_b only 9 (-> bucket 16)
+        make_megadepth_fixture(tmp_path, scenes=("scene_a",), pairs_per_scene=10, num_kpts=50)
+        make_megadepth_fixture(tmp_path, scenes=("scene_b",), pairs_per_scene=10, num_kpts=9)
+        feat_dir = tmp_path / "features_cache"
+        write_yaml(
+            feat_dir / "config.yaml",
+            {"name": "OPENCV_SIFT", "descriptor_dim": 32, "parameters": {}},
+        )
+        (tmp_path / "train_list.txt").write_text("scene_a\n")
+        (tmp_path / "val_list.txt").write_text("scene_b\n")
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, self._config(tmp_path))
+
+        from openglue_tpu.cli.train_cached import build_dataloaders, main
+        from openglue_tpu.core.config import load_config
+        from openglue_tpu.features.lafs import LAFConverter
+
+        train_loader, val_loader_fn = build_dataloaders(
+            load_config(cfg_path), LAFConverter()
+        )
+        train_batch = next(iter(train_loader))
+        val_batch = next(iter(val_loader_fn()))
+        assert train_batch.side0.keypoints.shape[1] == 64
+        assert val_batch.side0.keypoints.shape[1] == 16
+
+        # full CLI smoke with bucketed batches (train bucket 64, val bucket 16)
+        state = main(["--config", str(cfg_path)])
+        assert int(state.step) == 2
