@@ -82,9 +82,17 @@ class MultiheadAttention(nn.Module):
             if self.ring_axis is not None:
                 out = self._ring_attention(q, k, v, kv_mask, batch, m)
             elif self.use_pallas:
-                from openglue_tpu.ops.pallas import attention_kernel
+                from openglue_tpu.ops.pallas import (
+                    attention_kernel,
+                    use_pallas_for_shape,
+                )
 
-                out = attention_kernel.masked_softmax_attention(q, k, v, kv_mask)
+                # shape dispatch: XLA wins below ~512 keypoints, so
+                # use_pallas=True is never a regression (BASELINE.md sweep)
+                if use_pallas_for_shape(n, m):
+                    out = attention_kernel.masked_softmax_attention(q, k, v, kv_mask)
+                else:
+                    out, _ = attn_ops.softmax_attention(q, k, v, kv_mask)
             else:
                 out, _ = attn_ops.softmax_attention(q, k, v, kv_mask)
         elif self.attention == "linear":
@@ -156,6 +164,9 @@ class AttentionalPropagation(nn.Module):
         kv_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
+        fused = self._fused_layer(desc_q, desc_kv, kv_mask, train)
+        if fused is not None:
+            return fused
         message = MultiheadAttention(
             self.embed_dim,
             self.num_heads,
@@ -174,6 +185,37 @@ class AttentionalPropagation(nn.Module):
             (2 * self.embed_dim, self.embed_dim), dtype=self.dtype, name="ffn"
         )(message, mask=q_mask, train=train)
         return desc_q + update
+
+    def _fused_layer(self, desc_q, desc_kv, kv_mask, train):
+        """Whole-layer Pallas kernel (ops/pallas/gnn_layer_kernel.py):
+        projections + attention + FFN fused in VMEM. Eval-mode only (BN folds
+        to an affine there); init and small shapes take the composed path.
+        Returns None when not applicable."""
+        if (
+            self.attention != "softmax"
+            or not self.use_pallas
+            or self.ring_axis is not None
+            or train
+            or self.is_initializing()
+        ):
+            return None
+        from openglue_tpu.ops.pallas import use_pallas_for_shape
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        if not use_pallas_for_shape(desc_q.shape[1], desc_kv.shape[1]):
+            return None
+        variables = self.variables
+        params = variables.get("params", {})
+        if "mha" not in params or "ffn" not in params:
+            return None
+        compute_dtype = self.dtype or desc_q.dtype
+        weights = glk.fold_propagation_weights(
+            params, variables["batch_stats"], compute_dtype
+        )
+        return glk.fused_attention_propagation(
+            desc_q, desc_kv, kv_mask, weights,
+            num_heads=self.num_heads, use_offset=self.use_offset,
+        )
 
 
 class AttentionGNN(nn.Module):

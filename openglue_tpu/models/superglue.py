@@ -79,6 +79,14 @@ class SuperGlueConfig:
         )
 
 
+def _pallas_ot_shape(S: jnp.ndarray) -> bool:
+    """Shape dispatch for the Sinkhorn kernel: XLA wins on small score
+    matrices (same rationale as ops.pallas.use_pallas_for_shape)."""
+    from openglue_tpu.ops.pallas import use_pallas_for_shape
+
+    return use_pallas_for_shape(S.shape[1], S.shape[2])
+
+
 def normalize_keypoints(kpts: jnp.ndarray, image_size: jnp.ndarray) -> jnp.ndarray:
     """Map pixel coordinates to [-1, 1] (reference superglue.py:74-78).
 
@@ -176,7 +184,7 @@ class SuperGlue(nn.Module):
                 mask0=mask0,
                 mask1=mask1,
             )
-        elif cfg.use_pallas:
+        elif cfg.use_pallas and _pallas_ot_shape(S):
             from openglue_tpu.ops.pallas import sinkhorn_kernel
 
             log_P = sinkhorn_kernel.log_optimal_transport(

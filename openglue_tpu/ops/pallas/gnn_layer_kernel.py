@@ -1,0 +1,344 @@
+"""Fully-fused attentional-propagation layer as one Pallas TPU kernel.
+
+One GNN layer (reference models/superglue/attention_gnn.py:36-56) is
+``desc_q + FFN(concat[desc_q, MHA(desc_q, desc_kv)])``. The unfused path runs
+it as ~8 separate XLA ops (q/k/v projections, attention, out projection,
+FFN dense -> BN -> dense) with an HBM round-trip between each — measured at
+~20% MFU single-chip. This kernel keeps one query block resident in VMEM and
+runs the whole layer on it:
+
+  grid = (batch, query blocks); at the first query block of each batch
+  element the K/V projections of the full key set are computed once into VMEM
+  scratch and reused by the remaining blocks (grid iterates the query-block
+  axis innermost, so scratch carries over).
+
+Eval-mode only: BatchNorm inside the FFN uses running statistics, which fold
+into a per-channel affine (a = scale/sqrt(var+eps), c = bias - mean*a) — a
+pure elementwise op that fuses. Training-mode BN needs batch statistics
+across the whole [B, N] set (a cross-grid reduction), so the training path
+keeps the composed XLA/Pallas-attention form.
+
+Backward (rarely needed in eval, but defined for safety): custom_vjp that
+replays the identical XLA composition and differentiates it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+class PropagationWeights(NamedTuple):
+    """Flattened weights of one AttentionalPropagation layer.
+
+    Dense kernels are flax layout [in, out]; biases are [1, out] (2-D so they
+    sit in VMEM without relayout). ``a1``/``c1`` are the folded eval-mode
+    BatchNorm affine of the FFN hidden layer.
+    """
+
+    wq: jnp.ndarray
+    bq: jnp.ndarray
+    wk: jnp.ndarray
+    bk: jnp.ndarray
+    wv: jnp.ndarray
+    bv: jnp.ndarray
+    wo: jnp.ndarray
+    bo: jnp.ndarray
+    w1: jnp.ndarray
+    b1: jnp.ndarray
+    a1: jnp.ndarray
+    c1: jnp.ndarray
+    w2: jnp.ndarray
+    b2: jnp.ndarray
+
+
+def fold_propagation_weights(
+    params: dict,
+    batch_stats: dict,
+    compute_dtype: jnp.dtype,
+    bn_epsilon: float = 1e-5,
+) -> PropagationWeights:
+    """Build PropagationWeights from an AttentionalPropagation param subtree
+    ({'mha': {'q_proj', 'k_proj', 'v_proj', 'out_proj'}, 'ffn': {'dense_0',
+    'bn_0', 'dense_1'}}) + its batch_stats, folding the eval BatchNorm."""
+    mha, ffn = params["mha"], params["ffn"]
+
+    def dense(p):
+        return (
+            p["kernel"].astype(compute_dtype),
+            p["bias"].astype(jnp.float32).reshape(1, -1),
+        )
+
+    wq, bq = dense(mha["q_proj"])
+    wk, bk = dense(mha["k_proj"])
+    wv, bv = dense(mha["v_proj"])
+    wo, bo = dense(mha["out_proj"])
+    w1, b1 = dense(ffn["dense_0"])
+    w2, b2 = dense(ffn["dense_1"])
+    bn = ffn["bn_0"]
+    stats = batch_stats["ffn"]["bn_0"]
+    a1 = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        stats["var"].astype(jnp.float32) + bn_epsilon
+    )
+    c1 = bn["bias"].astype(jnp.float32) - stats["mean"].astype(jnp.float32) * a1
+    return PropagationWeights(
+        wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, a1.reshape(1, -1), c1.reshape(1, -1), w2, b2
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _layer_kernel(
+    x_q_ref, x_kv_ref, mask_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    w1_ref, b1_ref, a1_ref, c1_ref, w2_ref, b2_ref,
+    out_ref,
+    k_scratch, v_scratch,
+    *, num_heads: int, use_offset: bool, scale: float, compute_dtype,
+):
+    """Block shapes: x_q [1, BQ, D]; x_kv [1, M, D]; mask [1, 1, M] float;
+    out [1, BQ, D]; scratch k/v [M, D] in compute dtype.
+
+    Inputs/outputs stay in the descriptor dtype (f32 in the model: the
+    residual chain promotes); matmul operands run in ``compute_dtype`` with
+    f32 MXU accumulation, mirroring flax Dense(dtype=...)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _project_kv():
+        kv = x_kv_ref[0].astype(compute_dtype)
+        k_scratch[...] = (_dot(kv, wk_ref[...]) + bk_ref[...]).astype(k_scratch.dtype)
+        v_scratch[...] = (_dot(kv, wv_ref[...]) + bv_ref[...]).astype(v_scratch.dtype)
+
+    xq = x_q_ref[0].astype(compute_dtype)  # [BQ, D]
+    q = (_dot(xq, wq_ref[...]) + bq_ref[...]).astype(compute_dtype)  # [BQ, D]
+
+    dim = q.shape[1]
+    dh = dim // num_heads
+    mask = mask_ref[0] > 0.5  # [1, M]
+
+    head_outs = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q[:, sl]
+        kh = k_scratch[:, sl]
+        logits = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, M]
+        logits = jnp.where(mask, logits, _NEG_INF)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        head_outs.append(_dot(p.astype(compute_dtype), v_scratch[:, sl]))  # [BQ, dh] f32
+    attn = jnp.concatenate(head_outs, axis=1).astype(compute_dtype)  # [BQ, D]
+
+    msg = (_dot(attn, wo_ref[...]) + bo_ref[...]).astype(compute_dtype)
+    if use_offset:
+        cat = jnp.concatenate([xq - msg, msg], axis=1)
+    else:
+        cat = jnp.concatenate([xq, msg], axis=1)  # [BQ, 2D]
+    h1 = jax.nn.relu(_dot(cat, w1_ref[...]) + b1_ref[...])  # f32 [BQ, 2D]
+    h1 = (h1 * a1_ref[...] + c1_ref[...]).astype(compute_dtype)  # folded eval BN
+    upd = _dot(h1, w2_ref[...]) + b2_ref[...]  # f32 [BQ, D]
+    out_ref[0] = (x_q_ref[0].astype(jnp.float32) + upd).astype(out_ref.dtype)
+
+
+def _forward_pallas(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    w: PropagationWeights,
+    num_heads: int,
+    use_offset: bool,
+    block_q: int,
+    interpret: Optional[bool],
+) -> jnp.ndarray:
+    batch, n, dim = x_q.shape
+    m = x_kv.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    # keep the per-step [BQ, M] f32 score block under ~2 MB
+    if m > 1024:
+        block_q = min(block_q, 256)
+    block_q = min(block_q, _round_up(n, 128))
+    n_pad = _round_up(n, block_q)
+    m_pad = _round_up(m, 128)
+
+    if n_pad != n:
+        x_q = jnp.pad(x_q, ((0, 0), (0, n_pad - n), (0, 0)))
+    if m_pad != m:
+        x_kv = jnp.pad(x_kv, ((0, 0), (0, m_pad - m), (0, 0)))
+    if kv_mask is None:
+        mask = jnp.ones((batch, m), jnp.float32)
+    else:
+        mask = kv_mask.astype(jnp.float32)
+    mask = jnp.pad(mask, ((0, 0), (0, m_pad - m)))[:, None, :]  # [B, 1, M]
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    weight_specs = [
+        spec
+        for kern, bias in (
+            (w.wq, w.bq), (w.wk, w.bk), (w.wv, w.bv), (w.wo, w.bo),
+            (w.w1, w.b1), (w.a1, w.c1), (w.w2, w.b2),
+        )
+        for spec in (const(*kern.shape), const(*bias.shape))
+    ]
+    # fold the (a1, c1) pair ordering back to the kernel signature order
+    # (w1,b1,a1,c1,w2,b2) — the generator above yields exactly that order.
+
+    compute_dtype = w.wq.dtype
+    kernel = functools.partial(
+        _layer_kernel,
+        num_heads=num_heads,
+        use_offset=use_offset,
+        scale=(dim // num_heads) ** -0.5,
+        compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_pad, dim), x_q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # qkvo projections + FFN (20*N*D^2) + attention (4*N*M*D) per batch
+            flops=batch * (20 * n_pad * dim * dim + 4 * n_pad * m_pad * dim),
+            bytes_accessed=(x_q.size + x_kv.size + x_q.size) * x_q.dtype.itemsize,
+            transcendentals=batch * n_pad * m_pad,
+        ),
+    )(x_q, x_kv, mask, *_weights_in_call_order(w))
+    return out[:, :n]
+
+
+def _weights_in_call_order(w: PropagationWeights):
+    return (
+        w.wq, w.bq, w.wk, w.bk, w.wv, w.bv, w.wo, w.bo,
+        w.w1, w.b1, w.a1, w.c1, w.w2, w.b2,
+    )
+
+
+def xla_reference_layer(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    w: PropagationWeights,
+    num_heads: int,
+    use_offset: bool,
+) -> jnp.ndarray:
+    """Same math as the kernel in plain XLA ops — parity oracle and the
+    backward replay for the custom_vjp."""
+    dim = x_q.shape[-1]
+    dh = dim // num_heads
+    dtype = w.wq.dtype  # compute dtype; in/out stay in x_q.dtype
+
+    def dense(x, kern, bias):
+        return (
+            jax.lax.dot_general(
+                x.astype(dtype), kern,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias[None]
+        ).astype(dtype)
+
+    q = dense(x_q, w.wq, w.bq)
+    k = dense(x_kv, w.wk, w.bk)
+    v = dense(x_kv, w.wv, w.bv)
+
+    def split(x):  # [B, L, D] -> [B, H, L, dh]
+        b, l, _ = x.shape
+        return x.reshape(b, l, num_heads, dh).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)).astype(jnp.float32) * dh**-0.5
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, _NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dtype), split(v))
+    b, _, n, _ = out.shape
+    attn = out.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(dtype)
+
+    msg = dense(attn, w.wo, w.bo)
+    xq_c = x_q.astype(dtype)
+    cat = jnp.concatenate([xq_c - msg if use_offset else xq_c, msg], axis=-1)
+    h1 = jax.nn.relu(
+        jax.lax.dot_general(
+            cat, w.w1,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + w.b1[None]
+    )
+    h1 = (h1 * w.a1[None] + w.c1[None]).astype(dtype)
+    upd = (
+        jax.lax.dot_general(
+            h1, w.w2,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + w.b2[None]
+    )
+    return (x_q.astype(jnp.float32) + upd).astype(x_q.dtype)
+
+
+def fused_attention_propagation(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    weights: PropagationWeights,
+    num_heads: int,
+    use_offset: bool = False,
+    block_q: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One eval-mode AttentionalPropagation layer, fused. x_q [B, N, D],
+    x_kv [B, M, D], kv_mask [B, M] bool or None -> [B, N, D]."""
+
+    @jax.custom_vjp
+    def f(x_q, x_kv, w):
+        return _forward_pallas(
+            x_q, x_kv, kv_mask, w, num_heads, use_offset, block_q, interpret
+        )
+
+    def f_fwd(x_q, x_kv, w):
+        return f(x_q, x_kv, w), (x_q, x_kv, w)
+
+    def f_bwd(residuals, g):
+        x_q, x_kv, w = residuals
+        _, vjp = jax.vjp(
+            lambda a, b, c: xla_reference_layer(a, b, kv_mask, c, num_heads, use_offset),
+            x_q, x_kv, w,
+        )
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x_q, x_kv, weights)

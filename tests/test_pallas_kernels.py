@@ -217,3 +217,154 @@ class TestSinkhornBackwardKernel:
             np.asarray(jax.grad(loss_ref)(scores)),
             rtol=1e-5, atol=1e-4,
         )
+
+
+class TestFusedGNNLayer:
+    """Whole-layer fused kernel (ops/pallas/gnn_layer_kernel.py) vs its XLA
+    reference and vs the composed flax module path."""
+
+    @staticmethod
+    def _weights(dim, seed=0, dtype=jnp.float32):
+        from openglue_tpu.ops.pallas.gnn_layer_kernel import PropagationWeights
+
+        ks = jax.random.split(jax.random.key(seed), 14)
+        # ~1/sqrt(fan_in) scale keeps activations O(1) so f32 rounding stays
+        # within the absolute tolerances below
+        mk = lambda i, *s: jax.random.normal(ks[i], s, jnp.float32) / np.sqrt(s[-2] if len(s) > 1 else 1.0)
+        return PropagationWeights(
+            wq=mk(0, dim, dim).astype(dtype), bq=mk(1, 1, dim),
+            wk=mk(2, dim, dim).astype(dtype), bk=mk(3, 1, dim),
+            wv=mk(4, dim, dim).astype(dtype), bv=mk(5, 1, dim),
+            wo=mk(6, dim, dim).astype(dtype), bo=mk(7, 1, dim),
+            w1=mk(8, 2 * dim, 2 * dim).astype(dtype), b1=mk(9, 1, 2 * dim),
+            a1=1.0 + 0.1 * mk(10, 1, 2 * dim), c1=0.1 * mk(11, 1, 2 * dim),
+            w2=mk(12, 2 * dim, dim).astype(dtype), b2=mk(13, 1, dim),
+        )
+
+    def test_matches_xla_reference_with_mask(self):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        w = self._weights(dim)
+        ref = glk.xla_reference_layer(x_q, x_kv, mask, w, heads, False)
+        out = glk.fused_attention_propagation(
+            x_q, x_kv, mask, w, num_heads=heads, block_q=32
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_matches_xla_reference_offset_unaligned(self):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 2
+        x_q, x_kv = rand(3, 1, 50, dim), rand(4, 1, 37, dim)
+        w = self._weights(dim, seed=5)
+        ref = glk.xla_reference_layer(x_q, x_kv, None, w, heads, True)
+        out = glk.fused_attention_propagation(
+            x_q, x_kv, None, w, num_heads=heads, use_offset=True, block_q=32
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_gradients_match_reference(self):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 1, 40, dim), rand(2, 1, 40, dim)
+        mask = jnp.arange(40)[None, :] < 33
+        w = self._weights(dim, seed=7)
+
+        def loss_kernel(x_q, x_kv, w):
+            return jnp.sum(
+                glk.fused_attention_propagation(
+                    x_q, x_kv, mask, w, num_heads=heads, block_q=16
+                )
+                ** 2
+            )
+
+        def loss_ref(x_q, x_kv, w):
+            return jnp.sum(glk.xla_reference_layer(x_q, x_kv, mask, w, heads, False) ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x_q, x_kv, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, x_kv, w)
+        for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_module_fused_path_matches_composed(self):
+        """AttentionalPropagation(use_pallas=True) in eval at N>=512 takes the
+        fused kernel and must match the composed module bit-for-tolerance,
+        including non-trivial running BN stats."""
+        from openglue_tpu.models.gnn import AttentionalPropagation
+
+        dim, heads, n = 64, 4, 512
+        x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([400, n])[:, None]
+        q_mask = jnp.ones((2, n), bool)
+
+        ref_mod = AttentionalPropagation(embed_dim=dim, num_heads=heads)
+        variables = ref_mod.init(jax.random.key(0), x_q, x_kv, q_mask, kv_mask)
+        # non-trivial running stats so the BN fold is actually exercised
+        stats = variables["batch_stats"]
+        stats = jax.tree_util.tree_map(
+            lambda v: v + 0.3 * jax.random.normal(jax.random.key(9), v.shape) ** 2, stats
+        )
+        variables = {**variables, "batch_stats": stats}
+
+        ref = ref_mod.apply(variables, x_q, x_kv, q_mask, kv_mask)
+        fused_mod = AttentionalPropagation(
+            embed_dim=dim, num_heads=heads, use_pallas=True
+        )
+        out = fused_mod.apply(variables, x_q, x_kv, q_mask, kv_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    def test_small_shapes_skip_fused_path(self):
+        """Below PALLAS_MIN_KEYPOINTS the module must fall back to the
+        composed path (dispatch: use_pallas=True is never a regression)."""
+        from openglue_tpu.models.gnn import AttentionalPropagation
+
+        dim, n = 64, 64
+        x_q = rand(1, 2, n, dim)
+        mod = AttentionalPropagation(embed_dim=dim, num_heads=4, use_pallas=True)
+        variables = mod.init(jax.random.key(0), x_q, x_q)
+        assert mod._fused_layer.__wrapped__ is not None  # sanity: method exists
+        out = mod.apply(variables, x_q, x_q)
+        ref = AttentionalPropagation(embed_dim=dim, num_heads=4).apply(
+            variables, x_q, x_q
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class TestModelPallasDispatch:
+    """Full SuperGlue forward with use_pallas=True (eval): at N>=512 the fused
+    GNN-layer + Sinkhorn kernels engage and must match the XLA model."""
+
+    def _model(self, use_pallas):
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+
+        cfg = SuperGlueConfig(
+            descriptor_dim=64,
+            pe_hidden_layers_sizes=(32,),
+            side_info_size=1,
+            num_stages=2,
+            num_heads=4,
+            attention="softmax",
+            otp_num_iters=8,
+            residual=True,
+            use_pallas=use_pallas,
+        )
+        return SuperGlue(cfg)
+
+    @pytest.mark.slow
+    def test_eval_forward_parity_at_dispatch_scale(self):
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.train.step import superglue_inputs
+
+        gen = SyntheticHomographyPairs(num_keypoints=512, descriptor_dim=64)
+        batch = gen.sample(jax.random.key(0), 2)
+        inputs = superglue_inputs(batch, train=False)
+
+        ref_model = self._model(False)
+        variables = ref_model.init(jax.random.key(1), **inputs)
+        ref = ref_model.apply(variables, **inputs)["scores"]
+        out = self._model(True).apply(variables, **inputs)["scores"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
