@@ -133,11 +133,17 @@ class MultiheadAttention(nn.Module):
             kv_mask = jnp.ones((batch, m), dtype=bool)
         axis = self.ring_axis
         fn = jax.shard_map(
-            partial(ring_softmax_attention, axis_name=axis),
+            partial(
+                ring_softmax_attention, axis_name=axis, use_pallas=self.use_pallas
+            ),
             in_specs=(P(None, None, axis), P(None, None, axis),
                       P(None, None, axis), P(None, axis)),
             out_specs=P(None, None, axis),
             axis_names={axis},
+            # pallas interpret mode (CPU-mesh tests) trips the vma checker on
+            # its internal dynamic_slices; numerics are covered by the ring
+            # parity tests
+            check_vma=not self.use_pallas,
         )
         return fn(q, k, v, kv_mask)
 
@@ -188,11 +194,11 @@ class AttentionalPropagation(nn.Module):
 
     def _fused_layer(self, desc_q, desc_kv, kv_mask, train):
         """Whole-layer Pallas kernel (ops/pallas/gnn_layer_kernel.py):
-        projections + attention + FFN fused in VMEM. Eval-mode only (BN folds
-        to an affine there); init and small shapes take the composed path.
-        Returns None when not applicable."""
+        projections + attention (softmax or linear) + FFN fused in VMEM.
+        Eval-mode only (BN folds to an affine there); init and small shapes
+        take the composed path. Returns None when not applicable."""
         if (
-            self.attention != "softmax"
+            self.attention not in ("softmax", "linear")
             or not self.use_pallas
             or self.ring_axis is not None
             or train
@@ -215,6 +221,7 @@ class AttentionalPropagation(nn.Module):
         return glk.fused_attention_propagation(
             desc_q, desc_kv, kv_mask, weights,
             num_heads=self.num_heads, use_offset=self.use_offset,
+            attention_kind=self.attention,
         )
 
 

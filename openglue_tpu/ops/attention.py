@@ -56,6 +56,26 @@ def softmax_attention(
     return out, attention
 
 
+def softmax_attention_with_lse(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax attention that also returns the per-row logsumexp of the
+    (scaled, masked) logits — the merge statistic for composing block
+    attention across a ring schedule (parallel.ring). Returns
+    (out [B, H, N, Dh], lse [B, H, N])."""
+    head_dim = query.shape[-1]
+    logits = jnp.einsum("bhnd,bhmd->bhnm", query, key) * head_dim**-0.5
+    logits = _mask_logits(logits, kv_mask)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    denom = jnp.sum(p, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p / denom[..., None], value)
+    return out, m + jnp.log(denom)
+
+
 def linear_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,

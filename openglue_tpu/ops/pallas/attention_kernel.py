@@ -56,6 +56,122 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
     ).astype(out_ref.dtype)
 
 
+def _attention_kernel_lse(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, *, scale: float):
+    """Like _attention_kernel but also emits the per-row logsumexp of the
+    masked scaled logits (lse block: [1, BQ]) — the merge statistic for
+    composing block attention across a ring schedule (parallel.ring)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [BQ, M]
+    logits = jnp.where(mask_ref[0] > 0.5, logits, _NEG_INF)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    out_ref[0] = jnp.dot(
+        (p / denom).astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+    lse_ref[...] = jnp.transpose(m + jnp.log(denom))  # [1, BQ]
+
+
+def _forward_lse(query, key, value, kv_mask, block_q, interpret):
+    """(out [B,H,N,Dh], lse [B,H,N]) via the LSE-emitting kernel."""
+    batch, heads, n, dh = query.shape
+    m = key.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    block_q = min(block_q, _round_up(n, 128))
+    n_pad = _round_up(n, block_q)
+    m_pad = _round_up(m, 128)
+
+    bh = batch * heads
+    q = query.reshape(bh, n, dh)
+    k = key.reshape(bh, m, dh)
+    v = value.reshape(bh, m, dh)
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+    if m_pad != m:
+        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0)))
+    if kv_mask is None:
+        mask = jnp.ones((batch, m), jnp.float32)
+    else:
+        mask = kv_mask.astype(jnp.float32)
+    mask = jnp.pad(mask, ((0, 0), (0, m_pad - m)))
+    mask = jnp.broadcast_to(mask[:, None, None, :], (batch, heads, 1, m_pad))
+    mask = mask.reshape(bh, 1, m_pad)
+
+    kernel = functools.partial(_attention_kernel_lse, scale=dh**-0.5)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ),
+        # propagate the inputs' varying-mesh-axes so the kernel composes
+        # inside shard_map (the ring schedule)
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (bh, n_pad, dh), query.dtype, vma=getattr(jax.typeof(q), "vma", None)
+            ),
+            jax.ShapeDtypeStruct(
+                (bh, n_pad), jnp.float32, vma=getattr(jax.typeof(q), "vma", None)
+            ),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad * m_pad * dh,
+            bytes_accessed=(q.size + k.size + v.size + bh * n_pad * dh) * q.dtype.itemsize,
+            transcendentals=bh * n_pad * m_pad,
+        ),
+    )(q, k, v, mask)
+    return (
+        out[:, :n].reshape(batch, heads, n, dh),
+        lse[:, :n].reshape(batch, heads, n),
+    )
+
+
+def masked_softmax_attention_with_lse(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    block_q: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """(out, lse) kernel for ring-schedule block attention. Differentiable:
+    backward replays ops.attention.softmax_attention_with_lse in XLA."""
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _forward_lse(q, k, v, kv_mask, block_q, interpret)
+
+    def f_fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def f_bwd(residuals, g):
+        q, k, v = residuals
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: attn_ref.softmax_attention_with_lse(q_, k_, v_, kv_mask),
+            q, k, v,
+        )
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(query, key, value)
+
+
 def _forward(
     query: jnp.ndarray,
     key: jnp.ndarray,

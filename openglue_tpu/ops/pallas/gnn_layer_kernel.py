@@ -104,6 +104,14 @@ def _dot(a, b):
     )
 
 
+_ELU_EPS = 1e-6  # ops.attention.linear_attention_elu
+
+
+def _elu1p(x):
+    """elu(x) + 1 without expm1 (unimplemented in Mosaic TPU lowering)."""
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
 def _layer_kernel(
     x_q_ref, x_kv_ref, mask_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
@@ -111,42 +119,82 @@ def _layer_kernel(
     out_ref,
     k_scratch, v_scratch,
     *, num_heads: int, use_offset: bool, scale: float, compute_dtype,
+    attention_kind: str,
 ):
     """Block shapes: x_q [1, BQ, D]; x_kv [1, M, D]; mask [1, 1, M] float;
-    out [1, BQ, D]; scratch k/v [M, D] in compute dtype.
+    out [1, BQ, D].
+
+    Scratch (persists across query blocks; filled at the first block):
+      * softmax: k/v projections [M, D] in compute dtype;
+      * linear (ELU+1 feature map, O(N)): the per-head KV aggregates stacked
+        as [D, dh] plus the feature-sum normalizer row [1, D] — the key set
+        is consumed entirely at the first block.
 
     Inputs/outputs stay in the descriptor dtype (f32 in the model: the
     residual chain promotes); matmul operands run in ``compute_dtype`` with
     f32 MXU accumulation, mirroring flax Dense(dtype=...)."""
     i = pl.program_id(1)
+    dim = wq_ref.shape[0]
+    dh = dim // num_heads
+    mask = mask_ref[0] > 0.5  # [1, M]
 
-    @pl.when(i == 0)
-    def _project_kv():
-        kv = x_kv_ref[0].astype(compute_dtype)
-        k_scratch[...] = (_dot(kv, wk_ref[...]) + bk_ref[...]).astype(k_scratch.dtype)
-        v_scratch[...] = (_dot(kv, wv_ref[...]) + bv_ref[...]).astype(v_scratch.dtype)
+    if attention_kind == "softmax":
+
+        @pl.when(i == 0)
+        def _project_kv():
+            kv = x_kv_ref[0].astype(compute_dtype)
+            k_scratch[...] = (_dot(kv, wk_ref[...]) + bk_ref[...]).astype(k_scratch.dtype)
+            v_scratch[...] = (_dot(kv, wv_ref[...]) + bv_ref[...]).astype(v_scratch.dtype)
+
+    else:  # linear
+
+        @pl.when(i == 0)
+        def _aggregate_kv():
+            kv = x_kv_ref[0].astype(compute_dtype)
+            k = _dot(kv, wk_ref[...]) + bk_ref[...]  # f32 [M, D]
+            kf = _elu1p(k) + _ELU_EPS
+            # zero masked key rows; float transpose (Mosaic cannot transpose
+            # an i1 vector) and multiply instead of where
+            kf = kf * jnp.transpose(mask_ref[0])  # [M, 1] broadcast
+            v = (_dot(kv, wv_ref[...]) + bv_ref[...]).astype(compute_dtype)
+            kfc = kf.astype(compute_dtype)
+            for h in range(num_heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                k_scratch[sl, :] = jax.lax.dot_general(
+                    kfc[:, sl], v[:, sl],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [dh, dh]
+            v_scratch[...] = jnp.sum(kf, axis=0, keepdims=True)  # [1, D]
 
     xq = x_q_ref[0].astype(compute_dtype)  # [BQ, D]
     q = (_dot(xq, wq_ref[...]) + bq_ref[...]).astype(compute_dtype)  # [BQ, D]
 
-    dim = q.shape[1]
-    dh = dim // num_heads
-    mask = mask_ref[0] > 0.5  # [1, M]
-
     head_outs = []
-    for h in range(num_heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh = q[:, sl]
-        kh = k_scratch[:, sl]
-        logits = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [BQ, M]
-        logits = jnp.where(mask, logits, _NEG_INF)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        head_outs.append(_dot(p.astype(compute_dtype), v_scratch[:, sl]))  # [BQ, dh] f32
+    if attention_kind == "softmax":
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh = q[:, sl]
+            kh = k_scratch[:, sl]
+            logits = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [BQ, M]
+            logits = jnp.where(mask, logits, _NEG_INF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            head_outs.append(_dot(p.astype(compute_dtype), v_scratch[:, sl]))  # [BQ, dh] f32
+    else:
+        qf = _elu1p(q.astype(jnp.float32)) + _ELU_EPS  # [BQ, D]
+        qfc = qf.astype(compute_dtype)
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            o = _dot(qfc[:, sl], k_scratch[sl, :])  # [BQ, dh] f32
+            norm = jnp.sum(
+                qf[:, sl] * v_scratch[0, sl][None, :], axis=1, keepdims=True
+            )
+            head_outs.append(o / norm)
     attn = jnp.concatenate(head_outs, axis=1).astype(compute_dtype)  # [BQ, D]
 
     msg = (_dot(attn, wo_ref[...]) + bo_ref[...]).astype(compute_dtype)
@@ -169,6 +217,7 @@ def _forward_pallas(
     use_offset: bool,
     block_q: int,
     interpret: Optional[bool],
+    attention_kind: str,
 ) -> jnp.ndarray:
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
@@ -176,7 +225,7 @@ def _forward_pallas(
         interpret = jax.default_backend() not in ("tpu",)
 
     # keep the per-step [BQ, M] f32 score block under ~2 MB
-    if m > 1024:
+    if m > 1024 and attention_kind == "softmax":
         block_q = min(block_q, 256)
     block_q = min(block_q, _round_up(n, 128))
     n_pad = _round_up(n, block_q)
@@ -211,7 +260,18 @@ def _forward_pallas(
         use_offset=use_offset,
         scale=(dim // num_heads) ** -0.5,
         compute_dtype=compute_dtype,
+        attention_kind=attention_kind,
     )
+    if attention_kind == "softmax":
+        scratch = [
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+        ]
+    else:  # linear: per-head KV aggregates + feature-sum normalizer
+        scratch = [
+            pltpu.VMEM((dim, dim // num_heads), jnp.float32),
+            pltpu.VMEM((1, dim), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(batch, n_pad // block_q),
@@ -225,10 +285,7 @@ def _forward_pallas(
             (1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, n_pad, dim), x_q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((m_pad, dim), compute_dtype),
-            pltpu.VMEM((m_pad, dim), compute_dtype),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             # qkvo projections + FFN (20*N*D^2) + attention (4*N*M*D) per batch
@@ -254,6 +311,7 @@ def xla_reference_layer(
     w: PropagationWeights,
     num_heads: int,
     use_offset: bool,
+    attention_kind: str = "softmax",
 ) -> jnp.ndarray:
     """Same math as the kernel in plain XLA ops — parity oracle and the
     backward replay for the custom_vjp."""
@@ -279,12 +337,23 @@ def xla_reference_layer(
         b, l, _ = x.shape
         return x.reshape(b, l, num_heads, dh).transpose(0, 2, 1, 3)
 
-    logits = jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)).astype(jnp.float32) * dh**-0.5
-    if kv_mask is not None:
-        logits = jnp.where(kv_mask[:, None, None, :], logits, _NEG_INF)
-    p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dtype), split(v))
-    b, _, n, _ = out.shape
+    b, n = x_q.shape[0], x_q.shape[1]
+    if attention_kind == "softmax":
+        logits = jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)).astype(jnp.float32) * dh**-0.5
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[:, None, None, :], logits, _NEG_INF)
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dtype), split(v))
+    else:  # linear: ELU+1 feature map (ops.attention.linear_attention_elu)
+        qf = jax.nn.elu(q.astype(jnp.float32)) + 1.0 + _ELU_EPS
+        kf = jax.nn.elu(k.astype(jnp.float32)) + 1.0 + _ELU_EPS
+        if kv_mask is not None:
+            kf = jnp.where(kv_mask[:, :, None], kf, 0.0)
+        qfh, kfh = split(qf.astype(dtype)), split(kf.astype(dtype))
+        kv = jnp.einsum("bhmk,bhmd->bhkd", kfh, split(v)).astype(jnp.float32)
+        out = jnp.einsum("bhnk,bhkd->bhnd", qfh, kv)
+        norm = jnp.einsum("bhnk,bhk->bhn", split(qf), jnp.sum(split(kf), axis=2))
+        out = out / norm[..., None]
     attn = out.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(dtype)
 
     msg = dense(attn, w.wo, w.bo)
@@ -319,14 +388,19 @@ def fused_attention_propagation(
     use_offset: bool = False,
     block_q: int = 512,
     interpret: Optional[bool] = None,
+    attention_kind: str = "softmax",
 ) -> jnp.ndarray:
     """One eval-mode AttentionalPropagation layer, fused. x_q [B, N, D],
-    x_kv [B, M, D], kv_mask [B, M] bool or None -> [B, N, D]."""
+    x_kv [B, M, D], kv_mask [B, M] bool or None -> [B, N, D].
+    ``attention_kind``: "softmax" or "linear" (ELU+1 feature map)."""
+    if attention_kind not in ("softmax", "linear"):
+        raise ValueError(f"unsupported attention_kind {attention_kind!r}")
 
     @jax.custom_vjp
     def f(x_q, x_kv, w):
         return _forward_pallas(
-            x_q, x_kv, kv_mask, w, num_heads, use_offset, block_q, interpret
+            x_q, x_kv, kv_mask, w, num_heads, use_offset, block_q, interpret,
+            attention_kind,
         )
 
     def f_fwd(x_q, x_kv, w):
@@ -335,7 +409,9 @@ def fused_attention_propagation(
     def f_bwd(residuals, g):
         x_q, x_kv, w = residuals
         _, vjp = jax.vjp(
-            lambda a, b, c: xla_reference_layer(a, b, kv_mask, c, num_heads, use_offset),
+            lambda a, b, c: xla_reference_layer(
+                a, b, kv_mask, c, num_heads, use_offset, attention_kind
+            ),
             x_q, x_kv, w,
         )
         return vjp(g)

@@ -280,36 +280,50 @@ def _log_sinkhorn_blocked(
     return out[:, :rows, :cols].astype(M.dtype)
 
 
-def _sinkhorn_bwd_kernel(
-    s_ref, log_a_ref, log_b_ref, g_hbm, out_hbm,
-    dm, u_hist, v_hist, lr_hist, lc_hist, sems,
+def _sinkhorn_adjoint_factors_kernel(
+    s_hbm, log_a_ref, log_b_ref, rmax_ref, g_rowsum_ref, g_colsum_ref,
+    p_ref, q_ref,
+    m_vmem, u_hist, v_hist, lr_hist, lc_hist, sems,
     *, num_iters: int,
 ):
-    """Adjoint of the unrolled Sinkhorn iteration, entirely in VMEM.
+    """Adjoint of the unrolled Sinkhorn iteration as a rank-2T factorization.
 
-    Forward replay stores the potentials and logsumexps per iteration (tiny);
-    the adjoint loop then walks t = T..1 accumulating
+    The adjoint accumulates, over iterations t = T..1,
 
         dM -= A_t ∘ (1 gv_tᵀ)   with A_t = exp(M + u_t − lse_rows_t)
         gu_t = −A_t · gv_t      (+ rowsum(g) at t = T)
         dM -= B_t ∘ (gu_t 1ᵀ)   with B_t = exp(M + v_{t−1} − lse_cols_t)
         gv_{t−1} = −B_tᵀ · gu_t
 
-    into a VMEM scratch initialized to g (the direct out = M + u + v term).
-    g/out live in ANY (HBM) and are DMA'd once each, so VMEM holds one
-    double-buffered M block + one dM scratch (~14 MB at N = 1024).
+    Every accumulated term is exp(M) scaled by a rank-1 outer product:
+        A_t ∘ (1 gv_tᵀ) = exp(M − rmax) ∘ (exp(u_t + rmax) · (gv_t ⊙ e^{−lr_t})ᵀ)
+        B_t ∘ (gu_t 1ᵀ) = exp(M − rmax) ∘ ((gu_t ⊙ e^{rmax − lc_t}) · e^{v_{t−1}}ᵀ)
+    (rmax = per-row max of M stabilizes the split exponentials), so instead of
+    accumulating a [Rp, Cp] dM in VMEM the kernel emits the 2T rank-1 factors
+    P [2T, Rp] / Q [2T, Cp] and the caller combines them in ONE fused XLA pass
 
-    Grid step = one batch element. s_ref: [1, Rp, Cp] VMEM (M, already /reg,
-    -1e9 padding); log_a_ref [1, Rp, 1]; log_b_ref [1, 1, Cp]; g_hbm/out_hbm:
-    [B, Rp, Cp] in ANY.
+        dM = g − exp(M − rmax) ∘ (Pᵀ Q).
+
+    This removes the dM scratch and the g DMA that pushed the previous
+    monolithic adjoint kernel past VMEM at N = 1024 (commit 79f136f): the
+    footprint is one single-buffered M block (DMA'd from ANY) plus one
+    transient for the per-step masked reductions.
+
+    Grid step = one batch element. s_hbm: [B, Rp, Cp] in ANY (M, already
+    /reg, -1e9 padding); log_a [1, Rp, 1]; log_b [1, 1, Cp]; rmax [1, Rp, 1];
+    g_rowsum [1, Rp, 1]; g_colsum [1, 1, Cp]. Outputs p [1, F, Rp] /
+    q [1, F, Cp] with F = round_up(2T, 8); padding rows are zeroed.
     """
     b = pl.program_id(0)
-    M = s_ref[0]
+    m_in = pltpu.make_async_copy(s_hbm.at[b], m_vmem, sems.at[0])
+    m_in.start()
+
     log_a = log_a_ref[0]
     log_b = log_b_ref[0]
+    rmax = rmax_ref[0]  # [Rp, 1]
 
-    g_in = pltpu.make_async_copy(g_hbm.at[b], dm, sems.at[0])
-    g_in.start()
+    p_ref[0] = jnp.zeros_like(p_ref[0])
+    q_ref[0] = jnp.zeros_like(q_ref[0])
 
     def lse_cols(x):  # over columns -> [Rp, 1]
         m = jnp.max(x, axis=1, keepdims=True)
@@ -319,15 +333,18 @@ def _sinkhorn_bwd_kernel(
         m = jnp.max(x, axis=0, keepdims=True)
         return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
 
+    m_in.wait()
+    M = m_vmem
+
     # forward replay storing potentials + logsumexps. Row-shaped vectors
     # ([Rp, 1]) are stored TRANSPOSED as [1, Rp]: a [T, Rp, 1] VMEM buffer
     # pads each row to 128 lanes (~10 MB at T=20, Rp=1032) while [T, 1, Rp]
     # stays lane-major (~0.7 MB).
     def fwd(t, carry):
         u, v = carry
-        lc = lse_cols(M + v)
+        lc = lse_cols(M[...] + v)
         u = log_a - lc
-        lr = lse_rows(M + u)
+        lr = lse_rows(M[...] + u)
         v = log_b - lr
         u_hist[t] = jnp.transpose(u)
         v_hist[t] = v
@@ -339,56 +356,41 @@ def _sinkhorn_bwd_kernel(
     v0 = jnp.zeros_like(log_b)
     jax.lax.fori_loop(0, num_iters, fwd, (u0, v0))
 
-    g_in.wait()
-    # dm now holds g (the direct dM term). Reduce the seeds FIRST and never
-    # bind the full block as a value — a long-lived [Rp, Cp] copy blows the
-    # Mosaic stack budget inside larger modules.
-    gv_T = jnp.sum(dm[...], axis=0, keepdims=True)
-    gu_direct = jnp.sum(dm[...], axis=1, keepdims=True)
+    gu_direct = g_rowsum_ref[0]  # [Rp, 1]
+    gv_T = g_colsum_ref[0]  # [1, Cp]
 
-    # adjoint first step (t = T) unrolled: gu_T carries the direct rowsum(g)
-    slot = num_iters - 1
-    A_T = jnp.exp(M + jnp.transpose(u_hist[slot]) - lr_hist[slot])
-    gu_T = gu_direct - jnp.sum(A_T * gv_T, axis=1, keepdims=True)
-    dm[...] = dm[...] - A_T * gv_T
-    v_prev = v_hist[slot - 1] if num_iters > 1 else jnp.zeros_like(gv_T)
-    B_T = jnp.exp(M + v_prev - jnp.transpose(lc_hist[slot]))
-    dm[...] = dm[...] - B_T * gu_T
-    gv = -jnp.sum(B_T * gu_T, axis=0, keepdims=True)
+    def adjoint_step(t_rev, gv):
+        """One t of the reverse recursion; t = num_iters - t_rev."""
+        slot = num_iters - 1 - t_rev
+        u_t = jnp.transpose(u_hist[slot])  # [Rp, 1]
+        lr_t = lr_hist[slot]  # [1, Cp]
+        lc_t = jnp.transpose(lc_hist[slot])  # [Rp, 1]
 
-    # remaining adjoint steps, t = T-1..1 (slot = t-1)
-    def bwd_rest(i, gv):
-        slot = num_iters - 2 - i
-        A_t = jnp.exp(M + jnp.transpose(u_hist[slot]) - lr_hist[slot])
-        gu = -jnp.sum(A_t * gv, axis=1, keepdims=True)
-        dm[...] = dm[...] - A_t * gv
-        v_prev = jnp.where(
-            slot > 0,
-            v_hist[jnp.maximum(slot - 1, 0)],
-            jnp.zeros_like(gv),
+        p_ref[0, pl.ds(slot, 1)] = jnp.transpose(jnp.exp(u_t + rmax))
+        q_ref[0, pl.ds(slot, 1)] = gv * jnp.exp(-lr_t)
+        direct = jnp.where(t_rev == 0, gu_direct, jnp.zeros_like(gu_direct))
+        gu = direct - jnp.sum(
+            jnp.exp(M[...] + u_t - lr_t) * gv, axis=1, keepdims=True
         )
-        B_t = jnp.exp(M + v_prev - jnp.transpose(lc_hist[slot]))
-        dm[...] = dm[...] - B_t * gu
-        return -jnp.sum(B_t * gu, axis=0, keepdims=True)
 
-    if num_iters > 1:
-        jax.lax.fori_loop(0, num_iters - 1, bwd_rest, gv)
+        v_prev = jnp.where(
+            slot > 0, v_hist[jnp.maximum(slot - 1, 0)], jnp.zeros_like(gv)
+        )
+        p_ref[0, pl.ds(num_iters + slot, 1)] = jnp.transpose(gu * jnp.exp(rmax - lc_t))
+        q_ref[0, pl.ds(num_iters + slot, 1)] = jnp.exp(v_prev)
+        return -jnp.sum(jnp.exp(M[...] + v_prev - lc_t) * gu, axis=0, keepdims=True)
 
-    out_dma = pltpu.make_async_copy(dm, out_hbm.at[b], sems.at[1])
-    out_dma.start()
-    out_dma.wait()
+    jax.lax.fori_loop(0, num_iters, adjoint_step, gv_T)
 
 
 def _bwd_fits_vmem(num_rows: int, num_cols: int) -> bool:
     rp = _round_up(num_rows, 8)
     cp = _round_up(num_cols, 128)
-    # Nominal footprint is double-buffered M + one dM scratch + histories
-    # (~15 MB at N=1024), but Mosaic's stack scheduling inside larger modules
-    # measures ~21 MB for the same kernel, so the gate is conservative: the
-    # adjoint kernel serves graphs up to ~N=640 and the flagship N=1024
-    # training backward falls back to the XLA replay (see BASELINE.md).
-    # Round-2 item: bring the in-module footprint down to the nominal one.
-    return 3 * rp * cp * 4 + 96 * (rp + cp) * 4 < 9 * 1024 * 1024
+    # One single-buffered M block + one transient for the masked reductions +
+    # histories/factors (~10.5 MB nominal at N=1024, T=20). The rank-2T
+    # factorization removed the dM scratch and g DMA that pushed the previous
+    # monolithic adjoint past VMEM at the flagship shape.
+    return 2 * rp * cp * 4 + 200 * (rp + cp) * 4 < 13 * 1024 * 1024
 
 
 def _sinkhorn_vjp_kernel_path(
@@ -437,29 +439,47 @@ def _sinkhorn_vjp_kernel_path(
         jnp.where(pair_valid, g.astype(jnp.float32), 0.0)
     )
 
-    kernel = functools.partial(_sinkhorn_bwd_kernel, num_iters=num_iters)
-    dm = pl.pallas_call(
+    # per-row max of M stabilizes the split exponentials of the rank-2T
+    # factorization; the seeds are the only pieces of g the kernel needs
+    rmax = jnp.max(M_pad, axis=2, keepdims=True)  # [B, Rp, 1]
+    g_rowsum = jnp.sum(g_pad, axis=2, keepdims=True)  # [B, Rp, 1]
+    g_colsum = jnp.sum(g_pad, axis=1, keepdims=True)  # [B, 1, Cp]
+
+    f = _round_up(2 * num_iters, 8)
+    kernel = functools.partial(_sinkhorn_adjoint_factors_kernel, num_iters=num_iters)
+    P, Q = pl.pallas_call(
         kernel,
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # M, DMA'd manually
             pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((batch, rp, cp), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, f, rp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, f, rp), jnp.float32),
+            jax.ShapeDtypeStruct((batch, f, cp), jnp.float32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((rp, cp), jnp.float32),
+            pltpu.VMEM((rp, cp), jnp.float32),  # M, single-buffered
             pltpu.VMEM((num_iters, 1, rp), jnp.float32),  # u (transposed)
             pltpu.VMEM((num_iters, 1, cp), jnp.float32),  # v
             pltpu.VMEM((num_iters, 1, cp), jnp.float32),  # lse_rows
             pltpu.VMEM((num_iters, 1, rp), jnp.float32),  # lse_cols (transposed)
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(M_pad, la, lb, g_pad)
+    )(M_pad, la, lb, rmax, g_rowsum, g_colsum)
+
+    # one fused XLA pass: dM = g − exp(M − rmax) ∘ (Pᵀ Q)
+    dm = g_pad - jnp.exp(M_pad - rmax) * jnp.einsum("bfr,bfc->brc", P, Q)
 
     dS_aug = dm[:, : m + 1, : n + 1] / reg
     dS_aug = jnp.where(pair_valid, dS_aug, 0.0)  # masked entries get no grad

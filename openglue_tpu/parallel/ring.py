@@ -35,12 +35,18 @@ def ring_softmax_attention(
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray],
     axis_name: str,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Masked softmax attention with K/V sharded over ``axis_name``.
 
     q: [B, H, n_loc, Dh] (queries of this shard); k/v: [B, H, m_loc, Dh]
     (this shard's K/V block); kv_mask: [B, m_loc] or None. Returns
     [B, H, n_loc, Dh] — exactly softmax over the FULL key set.
+
+    ``use_pallas=True`` computes each ring block with the fused Pallas
+    attention kernel (ops.pallas.attention_kernel, the LSE-emitting variant)
+    and merges blocks by online-logsumexp reweighting in XLA — SURVEY §5's
+    "sharded form at kernel speed". The ppermute schedule is identical.
     """
     axis_size = jax.lax.axis_size(axis_name)
     scale = q.shape[-1] ** -0.5
@@ -49,6 +55,33 @@ def ring_softmax_attention(
     if kv_mask is None:
         # derive from k so the value is typed device-varying under shard_map
         kv_mask = jnp.isfinite(k[:, 0, :, 0])
+
+    perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
+
+    if use_pallas:
+        from openglue_tpu.ops.pallas.attention_kernel import (
+            masked_softmax_attention_with_lse,
+        )
+
+        acc = jnp.zeros_like(q)
+        lse_run = jnp.full_like(q[..., 0], -jnp.inf)
+        k_blk, v_blk, mask_blk = k, v, kv_mask
+        # axis_size is static — unroll so the final block skips the rotation
+        for step in range(axis_size):
+            out_blk, lse_blk = masked_softmax_attention_with_lse(
+                q, k_blk, v_blk, mask_blk
+            )
+            lse_new = jnp.logaddexp(lse_run, lse_blk)
+            w_old = jnp.exp(lse_run - lse_new)
+            w_new = jnp.exp(lse_blk - lse_new)
+            acc = acc * w_old[..., None] + out_blk.astype(acc.dtype) * w_new[..., None]
+            lse_run = lse_new
+            if step + 1 < axis_size:
+                k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+                v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+                mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
+        # fully-masked rows everywhere carry only the -1e9 pseudo-mass
+        return jnp.where(lse_run[..., None] < -1e8, 0.0, acc)
 
     def block_logits(k_blk, mask_blk):
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k_blk) * scale
@@ -72,7 +105,6 @@ def ring_softmax_attention(
 
     # axis_size is static — unroll so the final block skips the (discarded)
     # K/V/mask rotation
-    perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
     k_blk, v_blk, mask_blk = k, v, kv_mask
     for step in range(axis_size):
         acc, m_run, denom = accumulate(k_blk, v_blk, mask_blk, acc, m_run, denom)
@@ -115,11 +147,19 @@ def sharded_log_sinkhorn(
         # row update — fully local
         u_inner = log_a_inner - _lse(S_inner + v[:, None, :], axis=2)
         u_dust = log_a_dust - _lse(S_dust_row[:, 0, :] + v, axis=1)
-        # column update — partial LSE over local rows, reduced across shards
+        # column update — partial LSE over local rows, reduced across shards.
+        # The max is only a logsumexp stabilizer (the LSE value and gradient
+        # are independent of the shift), so stop_gradient keeps the train
+        # step differentiable: lax.pmax has no VJP rule, and without the wrap
+        # the ring-path backward would fail to trace.
         part = S_inner + u_inner[:, :, None]  # [B, n_loc, C]
         local_max = jnp.max(part, axis=1)  # [B, C]
-        global_max = jax.lax.pmax(local_max, axis_name)
-        global_max = jnp.maximum(global_max, S_dust_row[:, 0, :] + u_dust[:, None])
+        global_max = jax.lax.stop_gradient(
+            jnp.maximum(
+                jax.lax.pmax(jax.lax.stop_gradient(local_max), axis_name),
+                S_dust_row[:, 0, :] + u_dust[:, None],
+            )
+        )
         local_sum = jnp.sum(jnp.exp(part - global_max[:, None, :]), axis=1)
         total = jax.lax.psum(local_sum, axis_name)
         total = total + jnp.exp(S_dust_row[:, 0, :] + u_dust[:, None] - global_max)

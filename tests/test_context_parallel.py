@@ -225,3 +225,60 @@ def test_cp_forward_other_attention_variants(attention):
         variables, sharded
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+class TestRingAttentionPallas:
+    """Ring schedule with each block computed by the Pallas LSE kernel
+    (interpret mode on the CPU mesh) and merged by online-logsumexp."""
+
+    def test_self_attention_matches_reference(self, mesh8):
+        B, H, N, Dh = 2, 4, 64, 16
+        q, k, v = rand(0, B, H, N, Dh), rand(1, B, H, N, Dh), rand(2, B, H, N, Dh)
+        mask = jnp.arange(N)[None, :] < jnp.asarray([50, N])[:, None]
+        ref, _ = attn_ref.softmax_attention(q, k, v, mask)
+
+        fn = shard_map(
+            partial(ring_softmax_attention, axis_name="model", use_pallas=True),
+            mesh=mesh8,
+            in_specs=(P(None, None, "model"), P(None, None, "model"),
+                      P(None, None, "model"), P(None, "model")),
+            out_specs=P(None, None, "model"),
+            check_vma=False,  # pallas interpret mode vs the vma checker
+        )
+        out = jax.jit(fn)(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_xla_ring(self, mesh8):
+        B, H, N, Dh = 1, 2, 32, 16
+        q, k, v = rand(0, B, H, N, Dh), rand(1, B, H, N, Dh), rand(2, B, H, N, Dh)
+        mask = jnp.arange(N)[None, :] < 27
+
+        def make_loss(use_pallas):
+            fn = shard_map(
+                partial(
+                    ring_softmax_attention, axis_name="model", use_pallas=use_pallas
+                ),
+                mesh=mesh8,
+                in_specs=(P(None, None, "model"), P(None, None, "model"),
+                          P(None, None, "model"), P(None, "model")),
+                out_specs=P(None, None, "model"),
+                check_vma=not use_pallas,
+            )
+            return lambda q, k, v: jnp.sum(fn(q, k, v, mask) ** 2)
+
+        gk = jax.grad(make_loss(True), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(make_loss(False), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_lse_kernel_matches_reference(self):
+        from openglue_tpu.ops.pallas.attention_kernel import (
+            masked_softmax_attention_with_lse,
+        )
+
+        q, k, v = rand(0, 2, 4, 96, 64), rand(1, 2, 4, 80, 64), rand(2, 2, 4, 80, 64)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([55, 80])[:, None]
+        ref_out, ref_lse = attn_ref.softmax_attention_with_lse(q, k, v, mask)
+        out, lse = masked_softmax_attention_with_lse(q, k, v, mask, block_q=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5)

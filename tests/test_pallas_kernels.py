@@ -368,3 +368,119 @@ class TestModelPallasDispatch:
         ref = ref_model.apply(variables, **inputs)["scores"]
         out = self._model(True).apply(variables, **inputs)["scores"]
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+class TestSinkhornAdjointFactors:
+    """Rank-2T adjoint factorization (dM = g - exp(M - rmax) o (P^T Q)):
+    the kernel path that serves the flagship N=1024 training backward."""
+
+    def test_gate_admits_flagship_and_rejects_eval_scale(self):
+        from openglue_tpu.ops.pallas.sinkhorn_kernel import _bwd_fits_vmem
+
+        assert _bwd_fits_vmem(1025, 1025)  # N=1024 flagship trains fused
+        assert not _bwd_fits_vmem(2049, 2049)  # N=2048 falls back to XLA replay
+
+    def test_masked_gradients_match_reference_midscale(self):
+        scores = rand(0, 2, 200, 250)
+        dustbin = jnp.asarray(0.8)
+        mask0 = jnp.arange(200)[None, :] < jnp.asarray([160, 200])[:, None]
+        mask1 = jnp.arange(250)[None, :] < jnp.asarray([250, 90])[:, None]
+
+        def loss_kernel(s, d):
+            out = sinkhorn_kernel.log_optimal_transport(
+                s, d, num_iters=12, mask0=mask0, mask1=mask1
+            )
+            vr = jnp.pad(mask0, ((0, 0), (0, 1)), constant_values=True)
+            vc = jnp.pad(mask1, ((0, 0), (0, 1)), constant_values=True)
+            pad = vr[:, :, None] & vc[:, None, :]
+            return jnp.sum(jnp.where(pad, out, 0.0) ** 2)
+
+        def loss_ref(s, d):
+            out = sink_ref.log_optimal_transport(
+                s, d, num_iters=12, mask0=mask0, mask1=mask1
+            )
+            vr = jnp.pad(mask0, ((0, 0), (0, 1)), constant_values=True)
+            vc = jnp.pad(mask1, ((0, 0), (0, 1)), constant_values=True)
+            pad = vr[:, :, None] & vc[:, None, :]
+            return jnp.sum(jnp.where(pad, out, 0.0) ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1))(scores, dustbin)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(scores, dustbin)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+class TestFusedLinearAttentionLayer:
+    """Linear (ELU+1) attention branch of the fused layer kernel."""
+
+    def test_matches_xla_reference_with_mask(self):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        w = TestFusedGNNLayer._weights(dim, seed=3)
+        ref = glk.xla_reference_layer(x_q, x_kv, mask, w, heads, False, "linear")
+        out = glk.fused_attention_propagation(
+            x_q, x_kv, mask, w, num_heads=heads, block_q=32, attention_kind="linear"
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_reference_matches_composed_module(self):
+        """The fused-layer XLA reference must agree with the real composed
+        AttentionalPropagation(attention='linear') so the kernel oracle is
+        anchored to the module semantics."""
+        from openglue_tpu.models.gnn import AttentionalPropagation
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads, n = 64, 4, 48
+        x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([30, n])[:, None]
+        mod = AttentionalPropagation(embed_dim=dim, num_heads=heads, attention="linear")
+        variables = mod.init(jax.random.key(0), x_q, x_kv, None, kv_mask)
+        ref = mod.apply(variables, x_q, x_kv, None, kv_mask)
+        w = glk.fold_propagation_weights(
+            variables["params"], variables["batch_stats"], jnp.float32
+        )
+        out = glk.xla_reference_layer(x_q, x_kv, kv_mask, w, heads, False, "linear")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_module_fused_path_matches_composed(self):
+        from openglue_tpu.models.gnn import AttentionalPropagation
+
+        dim, heads, n = 64, 4, 512
+        x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([384, n])[:, None]
+        ref_mod = AttentionalPropagation(embed_dim=dim, num_heads=heads, attention="linear")
+        variables = ref_mod.init(jax.random.key(0), x_q, x_kv, None, kv_mask)
+        ref = ref_mod.apply(variables, x_q, x_kv, None, kv_mask)
+        out = AttentionalPropagation(
+            embed_dim=dim, num_heads=heads, attention="linear", use_pallas=True
+        ).apply(variables, x_q, x_kv, None, kv_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    def test_gradients_match_reference(self):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 1, 40, dim), rand(2, 1, 40, dim)
+        mask = jnp.arange(40)[None, :] < 33
+        w = TestFusedGNNLayer._weights(dim, seed=11)
+
+        def loss_kernel(x_q, x_kv, w):
+            return jnp.sum(
+                glk.fused_attention_propagation(
+                    x_q, x_kv, mask, w, num_heads=heads, block_q=16,
+                    attention_kind="linear",
+                ) ** 2
+            )
+
+        def loss_ref(x_q, x_kv, w):
+            return jnp.sum(
+                glk.xla_reference_layer(x_q, x_kv, mask, w, heads, False, "linear") ** 2
+            )
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x_q, x_kv, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, x_kv, w)
+        for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
