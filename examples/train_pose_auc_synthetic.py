@@ -29,14 +29,24 @@ def main():
     parser.add_argument("--steps-per-epoch", type=int, default=200)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--kpts", type=int, default=256)
+    parser.add_argument("--dim", type=int, default=128, help="descriptor dim (256 = flagship)")
+    parser.add_argument("--stages", type=int, default=4, help="GNN stages (9 = flagship)")
+    parser.add_argument("--otp-iters", type=int, default=15)
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--pallas", action="store_true", help="fused Pallas kernels")
     args = parser.parse_args()
 
     gen = SyntheticReprojectionPairs(
-        num_keypoints=args.kpts, descriptor_dim=128, jitter=1.0, descriptor_noise=0.3
+        num_keypoints=args.kpts, descriptor_dim=args.dim, jitter=1.0,
+        descriptor_noise=0.3,
     )
+    pe_sizes = (32, 64, 128) if args.dim >= 256 else (32, 64)
     cfg = SuperGlueConfig(
-        descriptor_dim=128, pe_hidden_layers_sizes=(32, 64), num_stages=4,
-        num_heads=4, otp_num_iters=15, residual=True,
+        descriptor_dim=args.dim, pe_hidden_layers_sizes=pe_sizes,
+        num_stages=args.stages, num_heads=4, otp_num_iters=args.otp_iters,
+        residual=True, dtype=jnp.bfloat16 if args.bf16 else None,
+        use_pallas=args.pallas,
     )
     model = SuperGlue(cfg)
     init_batch = gen.sample(jax.random.key(999), args.batch)
@@ -44,7 +54,7 @@ def main():
         jax.random.key(1), init_batch
     )
     jax.block_until_ready(variables)
-    state = create_train_state(model.apply, variables, learning_rate=2e-4)
+    state = create_train_state(model.apply, variables, learning_rate=args.lr)
     step = make_train_step(LossConfig(positive_threshold=3.0, negative_threshold=7.0))
 
     @partial(jax.jit, static_argnums=2)
