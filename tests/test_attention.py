@@ -167,3 +167,56 @@ def test_orthogonal_random_matrix_properties():
     np.testing.assert_allclose(gram, np.eye(d), atol=1e-5)
     # Norms should look chi(d)-distributed: mean ~ sqrt(d)
     assert abs(np.mean(np.linalg.norm(proj, axis=1)) - np.sqrt(d)) < 2.0
+
+
+class TestFavorMultiHeadOracles:
+    """Multi-head FAVOR correctness against oracles the torch reference
+    cannot provide (it crashes for heads > 1, ops/attention.py:14-17):
+
+    * favor_softmax: with many orthogonal features the estimator must
+      approximate EXACT softmax attention (the published Performer claim);
+    * favor_relu: the O(N) aggregation must equal the dense relu-kernel
+      attention matrix computed explicitly.
+    """
+
+    def test_favor_softmax_multihead_approximates_exact_softmax(self):
+        rng = np.random.default_rng(0)
+        B, H, N, M, d = 2, 4, 24, 20, 32
+        q = _rand(rng, B, H, N, d) * 0.5
+        k = _rand(rng, B, H, M, d) * 0.5
+        v = _rand(rng, B, H, M, d)
+
+        ref, _ = A.softmax_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+        num_features = 8192  # estimator std ~ 1/sqrt(F)
+        proj = A.sample_orthogonal_random_matrix(jax.random.key(3), num_features, d)
+        qf = A.favor_features_softmax(jnp.asarray(q), proj, is_query=True)
+        kf = A.favor_features_softmax(jnp.asarray(k), proj, is_query=False)
+        out, _ = A.linear_attention(qf, kf, jnp.asarray(v))
+
+        diff = np.abs(np.asarray(out) - np.asarray(ref))
+        assert diff.mean() < 0.02, f"mean deviation {diff.mean()} from exact softmax"
+        assert diff.max() < 0.2, f"max deviation {diff.max()} from exact softmax"
+        corr = np.corrcoef(np.asarray(out).ravel(), np.asarray(ref).ravel())[0, 1]
+        assert corr > 0.995
+
+    def test_favor_relu_multihead_matches_dense_kernel(self):
+        rng = np.random.default_rng(1)
+        B, H, N, M, d = 2, 4, 16, 18, 32
+        q = _rand(rng, B, H, N, d)
+        k = _rand(rng, B, H, M, d)
+        v = _rand(rng, B, H, M, d)
+        mask = np.zeros((B, M), dtype=bool)
+        mask[:, :13] = True
+
+        proj = A.sample_orthogonal_random_matrix(jax.random.key(5), 2 * d, d)
+        qf = A.favor_features_relu(jnp.asarray(q), proj)
+        kf = A.favor_features_relu(jnp.asarray(k), proj)
+        out, _ = A.linear_attention(qf, kf, jnp.asarray(v), jnp.asarray(mask))
+
+        # dense oracle: materialize the [N, M] kernel matrix per head
+        kf_masked = np.asarray(kf) * mask[:, None, :, None]
+        Kmat = np.einsum("bhnf,bhmf->bhnm", np.asarray(qf), kf_masked)
+        attn = Kmat / Kmat.sum(axis=-1, keepdims=True)
+        ref = np.einsum("bhnm,bhmd->bhnd", attn, np.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
