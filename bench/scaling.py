@@ -1,6 +1,8 @@
 """Scaling-efficiency benchmark: edges/s (keypoint-pair scores per second)
-for the full matcher forward at 1 device vs the whole mesh (BASELINE.md:
->= 80% edges/s efficiency at 2+ hosts).
+at 1 device vs the whole mesh (BASELINE.md: >= 80% edges/s efficiency at 2+
+hosts). Default times the FULL TRAIN STEP (GT generation + forward +
+backward + Adam) — the >=80% target is about training; --forward-only
+restores the inference measurement.
 
 Modes:
   * dp   — batch sharded over all devices;
@@ -12,6 +14,7 @@ virtual CPU mesh (JAX_PLATFORMS=cpu JAX_NUM_CPU_DEVICES=8) it validates the
 harness; meaningful efficiency numbers require a real multi-chip slice.
 
 Usage: python -m bench.scaling [--mode dp|cp|dpcp] [--kpts 1024] [--batch 8]
+                               [--forward-only]
 """
 
 from __future__ import annotations
@@ -47,11 +50,25 @@ def build(batch, kpts, dtype):
     return model, variables, batch_data
 
 
-def time_forward(model, variables, batch_data, mesh=None):
+def time_forward(model, variables, batch_data, mesh=None, train_state=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def fwd(b):
-        return model.apply(variables, **superglue_inputs(b))["scores"]
+    if train_state is not None:
+        from openglue_tpu.train import LossConfig, make_train_step
+
+        step = make_train_step(
+            LossConfig(positive_threshold=3.0, negative_threshold=5.0)
+        )
+
+        def fwd(b):
+            # returning (state, metrics) anchors every numeric leaf incl. the
+            # updated params, so XLA cannot DCE the backward or the optimizer
+            return step(train_state, b)
+
+    else:
+
+        def fwd(b):
+            return model.apply(variables, **superglue_inputs(b))["scores"]
 
     def perturb(b, s):
         return b.replace(side0=b.side0.replace(descriptors=b.side0.descriptors * s))
@@ -76,17 +93,26 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--kpts", type=int, default=1024)
     parser.add_argument("--f32", action="store_true")
+    parser.add_argument(
+        "--forward-only", action="store_true",
+        help="time inference instead of the full train step",
+    )
     args = parser.parse_args()
 
     n_dev = len(jax.devices())
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     model, variables, batch_data = build(args.batch, args.kpts, dtype)
+    train_state = None
+    if not args.forward_only:
+        from openglue_tpu.train import create_train_state
+
+        train_state = create_train_state(model.apply, variables, learning_rate=1e-4)
 
     # single-device baseline on device 0
     single = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, jax.devices()[0]), batch_data
     )
-    t1 = time_forward(model, variables, single)
+    t1 = time_forward(model, variables, single, train_state=train_state)
 
     if args.mode == "dp":
         mesh = make_mesh({"data": n_dev})
@@ -95,7 +121,7 @@ def main():
     else:
         m = 2 if n_dev % 2 == 0 else 1
         mesh = make_mesh({"data": n_dev // m, "model": m})
-    tn = time_forward(model, variables, batch_data, mesh)
+    tn = time_forward(model, variables, batch_data, mesh, train_state=train_state)
 
     edges = args.batch * args.kpts * args.kpts * 18  # 18 attention layers
     speedup = t1 / tn
@@ -104,6 +130,7 @@ def main():
         json.dumps(
             {
                 "mode": args.mode,
+                "timed": "forward" if args.forward_only else "train_step",
                 "devices": n_dev,
                 "t1_ms": round(t1 * 1e3, 3),
                 "tn_ms": round(tn * 1e3, 3),
