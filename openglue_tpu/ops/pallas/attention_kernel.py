@@ -45,15 +45,13 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [BQ, M]
-    logits = jnp.where(mask_ref[0] > 0.5, logits, _NEG_INF)
+    ) * scale + (1.0 - mask_ref[0]) * _NEG_INF  # [BQ, M]; additive mask
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
-    p = p / denom
-    out_ref[0] = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    # normalize AFTER aggregation: the divide touches [BQ, Dh], not [BQ, M]
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out_ref[0] = (o / denom).astype(out_ref.dtype)
 
 
 def _attention_kernel_lse(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, *, scale: float):
@@ -67,14 +65,12 @@ def _attention_kernel_lse(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, *, sc
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [BQ, M]
-    logits = jnp.where(mask_ref[0] > 0.5, logits, _NEG_INF)
+    ) * scale + (1.0 - mask_ref[0]) * _NEG_INF  # [BQ, M]; additive mask
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
-    out_ref[0] = jnp.dot(
-        (p / denom).astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out_ref[0] = (o / denom).astype(out_ref.dtype)
     lse_ref[...] = jnp.transpose(m + jnp.log(denom))  # [1, BQ]
 
 

@@ -136,7 +136,8 @@ def _layer_kernel(
     i = pl.program_id(1)
     dim = wq_ref.shape[0]
     dh = dim // num_heads
-    mask = mask_ref[0] > 0.5  # [1, M]
+    # additive mask: one add on the logits instead of a select
+    mask_add = (1.0 - mask_ref[0]) * _NEG_INF  # [1, M]: 0 valid / -1e9 pad
 
     if attention_kind == "softmax":
 
@@ -179,12 +180,13 @@ def _layer_kernel(
             logits = jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # [BQ, M]
-            logits = jnp.where(mask, logits, _NEG_INF)
+            ) * scale + mask_add  # [BQ, M]
             m = jnp.max(logits, axis=1, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            head_outs.append(_dot(p.astype(compute_dtype), v_scratch[:, sl]))  # [BQ, dh] f32
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            # normalize AFTER the aggregation: divides [BQ, dh], not [BQ, M]
+            o = _dot(p.astype(compute_dtype), v_scratch[:, sl])  # [BQ, dh] f32
+            head_outs.append(o / denom)
     else:
         qf = _elu1p(q.astype(jnp.float32)) + _ELU_EPS  # [BQ, D]
         qfc = qf.astype(compute_dtype)
