@@ -33,6 +33,12 @@ def main():
     parser.add_argument("--stages", type=int, default=4, help="GNN stages (9 = flagship)")
     parser.add_argument("--otp-iters", type=int, default=15)
     parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument(
+        "--warmup", type=int, default=0,
+        help="linear LR warmup steps (deep stacks: the 9-stage GNN's init "
+        "gradient norm is ~150x the 4-stage one; warmup walks it off the "
+        "uniform-assignment saddle before full-size steps)",
+    )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument("--pallas", action="store_true", help="fused Pallas kernels")
     args = parser.parse_args()
@@ -54,7 +60,12 @@ def main():
         jax.random.key(1), init_batch
     )
     jax.block_until_ready(variables)
-    state = create_train_state(model.apply, variables, learning_rate=args.lr)
+    tx = None
+    if args.warmup:
+        from openglue_tpu.train.state import make_warmup_optimizer
+
+        tx = make_warmup_optimizer(args.lr, warmup_steps=args.warmup)
+    state = create_train_state(model.apply, variables, learning_rate=args.lr, tx=tx)
     step = make_train_step(LossConfig(positive_threshold=3.0, negative_threshold=7.0))
 
     @partial(jax.jit, static_argnums=2)

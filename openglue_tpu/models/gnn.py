@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from openglue_tpu.models.layers import FeedForwardNet
+from openglue_tpu.models.layers import FeedForwardNet, torch_dense
 from openglue_tpu.ops import attention as attn_ops
 
 ATTENTION_KINDS = ("softmax", "linear", "favor_relu", "favor_softmax")
@@ -68,7 +68,10 @@ class MultiheadAttention(nn.Module):
         m = kv_input.shape[1]
         head_dim = self.embed_dim // self.num_heads
 
-        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+        # torch Conv1d default init (training parity — see layers.torch_dense)
+        dense = lambda name: torch_dense(
+            self.embed_dim, self.embed_dim, dtype=self.dtype, name=name
+        )
         # [B, N, D] -> [B, H, N, Dh]; channel c maps to head c // Dh, matching
         # the reference's view(B, H, Dh, N) channel grouping for weight import.
         def split_heads(x, length):

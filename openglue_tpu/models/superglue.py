@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from openglue_tpu.models.gnn import AttentionGNN
+from openglue_tpu.models.layers import torch_dense
 from openglue_tpu.models.positional_encoding import MLPPositionalEncoding
 from openglue_tpu.ops.sinkhorn import log_optimal_transport
 
@@ -154,7 +155,9 @@ class SuperGlue(nn.Module):
         else:
             gdesc0, gdesc1 = gnn(desc0 + pe0, desc1 + pe1, mask0, mask1, train)
 
-        linear_proj = nn.Dense(cfg.descriptor_dim, dtype=dtype, name="linear_proj")
+        linear_proj = torch_dense(
+            cfg.descriptor_dim, cfg.descriptor_dim, dtype=dtype, name="linear_proj"
+        )
         gdesc0, gdesc1 = linear_proj(gdesc0), linear_proj(gdesc1)
 
         if cfg.residual:

@@ -48,16 +48,65 @@ def fits_vmem(num_rows: int, num_cols: int) -> bool:
     return 2 * rp * cp * 4 + 8 * (rp + cp) * 4 < _VMEM_BUDGET_BYTES
 
 
-def _sinkhorn_kernel(s_ref, log_a_ref, log_b_ref, u_ref, v_ref, *, num_iters: int):
-    """One batch element per grid step. s_ref: [1, Rp, Cp] (already /reg,
-    padded with -1e9); log_a_ref: [1, Rp, 1]; log_b_ref: [1, 1, Cp].
+_TINY = 1e-30
 
-    Outputs only the potentials u [1, Rp, 1] / v [1, 1, Cp] — the big matrix
-    is read once and never written (the final ``M + u + v`` is one fused XLA
-    elementwise pass outside), which keeps VMEM to a single double-buffered
-    input block."""
+
+def _sinkhorn_kernel(
+    s_hbm, log_a_ref, log_b_ref, u_ref, v_ref, m_vmem, k_vmem, sems,
+    *, num_iters: int,
+):
+    """One batch element per grid step, iterating in the SCALE domain.
+
+    The log-domain loop pays two full-matrix logsumexp passes per iteration —
+    2T·Rp·Cp transcendentals, which is what the VPU spends its time on (the
+    kernel is exp-throughput-bound, not bandwidth-bound). The classic
+    matrix-scaling form of the same recursion,
+
+        K = exp(M − rmax)           (row-stabilized, entries ≤ 1, ONCE)
+        û = a ⊘ (K v̂),  v̂ = b ⊘ (Kᵀ û)     with a = e^{log_a}, b = e^{log_b}
+
+    is algebraically identical (û ≡ e^{u + rmax}, v̂ ≡ e^{v}) but its loop is
+    pure multiply-accumulate. The LAST iteration runs in the log domain
+    against the original M so dead (masked / padded) rows and columns — whose
+    scale iterates hard-underflow to 0 — get the exact reference potentials
+    (log-domain lse keeps −1e9-magnitude structure that exp() cannot
+    represent). Full-matrix transcendental passes: 3 (K + final u + final v)
+    instead of 2T.
+
+    s_hbm: [B, Rp, Cp] in ANY (M already /reg, −1e9 padding), DMA'd manually
+    per grid step so M and K together stay at the footprint the old
+    double-buffered input had. log_a_ref: [1, Rp, 1]; log_b_ref: [1, 1, Cp].
+    Outputs only the potentials u [1, Rp, 1] / v [1, 1, Cp] — the final
+    ``M + u + v`` is one fused XLA elementwise pass outside.
+
+    f32 range note: with row stabilization only, a column whose every entry
+    sits ≫80 nats below its row's max can underflow Kᵀû to 0 mid-loop; the
+    guard divides and the exact final iteration keep the result finite and
+    masked-semantics-correct, at some precision loss for such dead columns.
+    Model score spreads (≲40 nats) never approach this."""
+    b = pl.program_id(0)
+    m_in = pltpu.make_async_copy(s_hbm.at[b], m_vmem, sems.at[0])
+    m_in.start()
+
     log_a = log_a_ref[0]  # [Rp, 1]
     log_b = log_b_ref[0]  # [1, Cp]
+    a = jnp.exp(log_a)  # masked rows: exp(-1e9) = 0 exactly
+    bb = jnp.exp(log_b)
+
+    m_in.wait()
+    M = m_vmem[...]
+    rmax = jnp.max(M, axis=1, keepdims=True)  # [Rp, 1]
+    k_vmem[...] = jnp.exp(M - rmax)
+
+    def body(_, v_hat):
+        K = k_vmem[...]
+        y = jnp.sum(K * v_hat, axis=1, keepdims=True)  # K @ v̂ -> [Rp, 1]
+        u_hat = a / jnp.maximum(y, _TINY)
+        r = jnp.sum(K * u_hat, axis=0, keepdims=True)  # Kᵀ @ û -> [1, Cp]
+        return bb / jnp.maximum(r, _TINY)
+
+    v_hat = jax.lax.fori_loop(0, num_iters - 1, body, jnp.ones_like(log_b))
+    v_prev = jnp.log(jnp.maximum(v_hat, _TINY))  # == v_{T-1} on live columns
 
     def lse_cols(x):  # logsumexp over columns -> [Rp, 1]
         m = jnp.max(x, axis=1, keepdims=True)
@@ -67,15 +116,9 @@ def _sinkhorn_kernel(s_ref, log_a_ref, log_b_ref, u_ref, v_ref, *, num_iters: in
         m = jnp.max(x, axis=0, keepdims=True)
         return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
 
-    def body(_, carry):
-        u, v = carry
-        u = log_a - lse_cols(s_ref[0] + v)
-        v = log_b - lse_rows(s_ref[0] + u)
-        return u, v
-
-    u0 = jnp.zeros_like(log_a)
-    v0 = jnp.zeros_like(log_b)
-    u, v = jax.lax.fori_loop(0, num_iters, body, (u0, v0))
+    # final iteration in the log domain: exact reference semantics everywhere
+    u = log_a - lse_cols(M + v_prev)
+    v = log_b - lse_rows(M + u)
     u_ref[0] = u
     v_ref[0] = v
 
@@ -112,7 +155,7 @@ def log_sinkhorn(
         kernel,
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, rp, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # M, DMA'd manually
             pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -124,11 +167,17 @@ def log_sinkhorn(
             jax.ShapeDtypeStruct((batch, rp, 1), jnp.float32),
             jax.ShapeDtypeStruct((batch, 1, cp), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((rp, cp), jnp.float32),  # M
+            pltpu.VMEM((rp, cp), jnp.float32),  # K = exp(M - rmax)
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
-            flops=6 * batch * num_iters * rp * cp,
+            flops=4 * batch * num_iters * rp * cp,
             bytes_accessed=batch * rp * cp * 4,
-            transcendentals=2 * batch * num_iters * rp * cp,
+            transcendentals=3 * batch * rp * cp,
         ),
     )(M_pad, la, lb)
     log_P = M32 + u[:, :rows, :] + v[:, :, :cols]
@@ -321,64 +370,73 @@ def _sinkhorn_adjoint_factors_kernel(
     log_a = log_a_ref[0]
     log_b = log_b_ref[0]
     rmax = rmax_ref[0]  # [Rp, 1]
+    a = jnp.exp(log_a)  # dead rows: exp(-1e9) = 0 exactly
+    bb = jnp.exp(log_b)
 
     p_ref[0] = jnp.zeros_like(p_ref[0])
     q_ref[0] = jnp.zeros_like(q_ref[0])
 
-    def lse_cols(x):  # over columns -> [Rp, 1]
-        m = jnp.max(x, axis=1, keepdims=True)
-        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=1, keepdims=True))
-
-    def lse_rows(x):  # over rows -> [1, Cp]
-        m = jnp.max(x, axis=0, keepdims=True)
-        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
-
     m_in.wait()
-    M = m_vmem
+    # K = exp(M − rmax) IN PLACE: the adjoint recursion only ever consumes M
+    # through exp(M + potentials − lse) terms, all of which factor through K
+    # (see below), so the raw M is never needed again.
+    m_vmem[...] = jnp.exp(m_vmem[...] - rmax)
+    K = m_vmem
 
-    # forward replay storing potentials + logsumexps. Row-shaped vectors
-    # ([Rp, 1]) are stored TRANSPOSED as [1, Rp]: a [T, Rp, 1] VMEM buffer
-    # pads each row to 128 lanes (~10 MB at T=20, Rp=1032) while [T, 1, Rp]
-    # stays lane-major (~0.7 MB).
-    def fwd(t, carry):
-        u, v = carry
-        lc = lse_cols(M[...] + v)
-        u = log_a - lc
-        lr = lse_rows(M[...] + u)
-        v = log_b - lr
-        u_hist[t] = jnp.transpose(u)
-        v_hist[t] = v
-        lr_hist[t] = lr
-        lc_hist[t] = jnp.transpose(lc)
-        return u, v
+    # Forward replay in the SCALE domain (û ≡ e^{u+rmax}, v̂ ≡ e^{v}; same
+    # reformulation as the forward kernel — the loop is multiply-accumulate
+    # only, 2 transcendental-free passes per iteration instead of two
+    # logsumexps). Histories stored lane-major as [T, 1, ·]:
+    #   u_hist[t] = û_t = a ⊘ y_t          y_t = K v̂_{t−1}
+    #   v_hist[t] = v̂_t = b ⊘ r_t          r_t = Kᵀ û_t
+    #   lc_hist[t] = y_t   (≡ e^{lse_cols_t − rmax}),  lr_hist[t] = r_t (≡ e^{lse_rows_t})
+    def fwd(t, v_hat):
+        y = jnp.maximum(jnp.sum(K[...] * v_hat, axis=1, keepdims=True), _TINY)
+        u_hat = a / y
+        r = jnp.maximum(jnp.sum(K[...] * u_hat, axis=0, keepdims=True), _TINY)
+        v_hat = bb / r
+        u_hist[t] = jnp.transpose(u_hat)
+        v_hist[t] = v_hat
+        lr_hist[t] = r
+        lc_hist[t] = jnp.transpose(y)
+        return v_hat
 
-    u0 = jnp.zeros_like(log_a)
-    v0 = jnp.zeros_like(log_b)
-    jax.lax.fori_loop(0, num_iters, fwd, (u0, v0))
+    jax.lax.fori_loop(0, num_iters, fwd, jnp.ones_like(log_b))
 
     gu_direct = g_rowsum_ref[0]  # [Rp, 1]
     gv_T = g_colsum_ref[0]  # [1, Cp]
 
     def adjoint_step(t_rev, gv):
-        """One t of the reverse recursion; t = num_iters - t_rev."""
+        """One t of the reverse recursion; t = num_iters - t_rev.
+
+        With A_t = exp(M + u_t − lr_t) = K ∘ (û_t ⊗ (1 ⊘ r_t)) and
+        B_t = exp(M + v_{t−1} − lc_t) = K ∘ ((1 ⊘ y_t) ⊗ v̂_{t−1}), both
+        matrix contractions are plain FMA passes over K, and the rank-1
+        factor rows are exactly the stored scale iterates:
+        exp(u_t + rmax) = û_t, exp(v_{t−1}) = v̂_{t−1},
+        exp(−lr_t) = 1 ⊘ r_t, exp(rmax − lc_t) = 1 ⊘ y_t."""
         slot = num_iters - 1 - t_rev
-        u_t = jnp.transpose(u_hist[slot])  # [Rp, 1]
-        lr_t = lr_hist[slot]  # [1, Cp]
-        lc_t = jnp.transpose(lc_hist[slot])  # [Rp, 1]
+        u_hat_t = jnp.transpose(u_hist[slot])  # [Rp, 1]
+        r_t = lr_hist[slot]  # [1, Cp]
+        y_t = jnp.transpose(lc_hist[slot])  # [Rp, 1]
 
-        p_ref[0, pl.ds(slot, 1)] = jnp.transpose(jnp.exp(u_t + rmax))
-        q_ref[0, pl.ds(slot, 1)] = gv * jnp.exp(-lr_t)
+        gv_over_r = gv / r_t
+        p_ref[0, pl.ds(slot, 1)] = jnp.transpose(u_hat_t)
+        q_ref[0, pl.ds(slot, 1)] = gv_over_r
         direct = jnp.where(t_rev == 0, gu_direct, jnp.zeros_like(gu_direct))
-        gu = direct - jnp.sum(
-            jnp.exp(M[...] + u_t - lr_t) * gv, axis=1, keepdims=True
+        gu = direct - u_hat_t * jnp.sum(
+            K[...] * gv_over_r, axis=1, keepdims=True
         )
 
-        v_prev = jnp.where(
-            slot > 0, v_hist[jnp.maximum(slot - 1, 0)], jnp.zeros_like(gv)
+        v_hat_prev = jnp.where(
+            slot > 0, v_hist[jnp.maximum(slot - 1, 0)], jnp.ones_like(gv)
         )
-        p_ref[0, pl.ds(num_iters + slot, 1)] = jnp.transpose(gu * jnp.exp(rmax - lc_t))
-        q_ref[0, pl.ds(num_iters + slot, 1)] = jnp.exp(v_prev)
-        return -jnp.sum(jnp.exp(M[...] + v_prev - lc_t) * gu, axis=0, keepdims=True)
+        gu_over_y = gu / y_t
+        p_ref[0, pl.ds(num_iters + slot, 1)] = jnp.transpose(gu_over_y)
+        q_ref[0, pl.ds(num_iters + slot, 1)] = v_hat_prev
+        return -v_hat_prev * jnp.sum(
+            K[...] * gu_over_y, axis=0, keepdims=True
+        )
 
     jax.lax.fori_loop(0, num_iters, adjoint_step, gv_T)
 

@@ -68,6 +68,36 @@ def make_optimizer(
     return optax.chain(*transforms)
 
 
+def make_warmup_optimizer(
+    learning_rate: float = 1e-4,
+    warmup_steps: int = 1000,
+    gamma: float = 0.999994,
+    gradient_clip: Optional[float] = 10.0,
+) -> optax.GradientTransformation:
+    """Linear warmup into the reference per-step exponential decay.
+
+    Beyond the reference (its StepLR has no warmup, matching_module.py:139-147)
+    but required at depth: the 9-stage GNN's init gradient norm is ~150x the
+    4-stage one (residual FFN updates compound over 18 layers), and cold-start
+    full-size Adam steps leave the matcher oscillating around the
+    uniform-assignment saddle (loss pinned at log(N+1)) before diverging."""
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, learning_rate, warmup_steps),
+            optax.exponential_decay(
+                init_value=learning_rate, transition_steps=1,
+                decay_rate=gamma, staircase=True,
+            ),
+        ],
+        boundaries=[warmup_steps],
+    )
+    transforms = []
+    if gradient_clip is not None:
+        transforms.append(optax.clip_by_global_norm(gradient_clip))
+    transforms.append(optax.adam(schedule))
+    return optax.chain(*transforms)
+
+
 def make_online_optimizer(
     params: Mapping[str, Any],
     learning_rate: float = 1e-4,
