@@ -54,10 +54,15 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
     out_ref[0] = (o / denom).astype(out_ref.dtype)
 
 
-def _attention_kernel_lse(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, *, scale: float):
+def _attention_kernel_lse(
+    q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, *, scale: float, block_q: int
+):
     """Like _attention_kernel but also emits the per-row logsumexp of the
-    masked scaled logits (lse block: [1, BQ]) — the merge statistic for
-    composing block attention across a ring schedule (parallel.ring)."""
+    masked scaled logits — the merge statistic for composing block attention
+    across a ring schedule (parallel.ring). The lse block spans the FULL
+    padded query row ([1, 1, Np], revisited across query blocks; each step
+    stores its [1, BQ] slice): a per-block (1, BQ) output block would violate
+    Mosaic's (8, 128)-divisibility rule on real TPU lowering."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -71,7 +76,10 @@ def _attention_kernel_lse(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, *, sc
     denom = jnp.sum(p, axis=1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     out_ref[0] = (o / denom).astype(out_ref.dtype)
-    lse_ref[...] = jnp.transpose(m + jnp.log(denom))  # [1, BQ]
+    i = pl.program_id(1)
+    lse_ref[0, :, pl.ds(i * block_q, block_q)] = jnp.transpose(
+        m + jnp.log(denom)
+    )  # [1, BQ]
 
 
 def _forward_lse(query, key, value, kv_mask, block_q, interpret):
@@ -101,7 +109,9 @@ def _forward_lse(query, key, value, kv_mask, block_q, interpret):
     mask = jnp.broadcast_to(mask[:, None, None, :], (batch, heads, 1, m_pad))
     mask = mask.reshape(bh, 1, m_pad)
 
-    kernel = functools.partial(_attention_kernel_lse, scale=dh**-0.5)
+    kernel = functools.partial(
+        _attention_kernel_lse, scale=dh**-0.5, block_q=block_q
+    )
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, n_pad // block_q),
@@ -113,7 +123,7 @@ def _forward_lse(query, key, value, kv_mask, block_q, interpret):
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         # propagate the inputs' varying-mesh-axes so the kernel composes
         # inside shard_map (the ring schedule)
@@ -122,7 +132,7 @@ def _forward_lse(query, key, value, kv_mask, block_q, interpret):
                 (bh, n_pad, dh), query.dtype, vma=getattr(jax.typeof(q), "vma", None)
             ),
             jax.ShapeDtypeStruct(
-                (bh, n_pad), jnp.float32, vma=getattr(jax.typeof(q), "vma", None)
+                (bh, 1, n_pad), jnp.float32, vma=getattr(jax.typeof(q), "vma", None)
             ),
         ),
         interpret=interpret,
@@ -134,7 +144,7 @@ def _forward_lse(query, key, value, kv_mask, block_q, interpret):
     )(q, k, v, mask)
     return (
         out[:, :n].reshape(batch, heads, n, dh),
-        lse[:, :n].reshape(batch, heads, n),
+        lse[:, 0, :n].reshape(batch, heads, n),
     )
 
 

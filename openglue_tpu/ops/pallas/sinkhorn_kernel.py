@@ -52,8 +52,7 @@ _TINY = 1e-30
 
 
 def _sinkhorn_kernel(
-    s_hbm, log_a_ref, log_b_ref, u_ref, v_ref, m_vmem, k_vmem, sems,
-    *, num_iters: int,
+    s_hbm, log_a_ref, log_b_ref, u_ref, m_vmem, sems, *, num_iters: int
 ):
     """One batch element per grid step, iterating in the SCALE domain.
 
@@ -66,24 +65,29 @@ def _sinkhorn_kernel(
         û = a ⊘ (K v̂),  v̂ = b ⊘ (Kᵀ û)     with a = e^{log_a}, b = e^{log_b}
 
     is algebraically identical (û ≡ e^{u + rmax}, v̂ ≡ e^{v}) but its loop is
-    pure multiply-accumulate. The LAST iteration runs in the log domain
-    against the original M so dead (masked / padded) rows and columns — whose
-    scale iterates hard-underflow to 0 — get the exact reference potentials
-    (log-domain lse keeps −1e9-magnitude structure that exp() cannot
-    represent). Full-matrix transcendental passes: 3 (K + final u + final v)
-    instead of 2T.
+    two MXU matvecs against the resident K per iteration — zero full-matrix
+    transcendentals after the initial exp. The final u is recovered as
 
-    s_hbm: [B, Rp, Cp] in ANY (M already /reg, −1e9 padding), DMA'd manually
-    per grid step so M and K together stay at the footprint the old
-    double-buffered input had. log_a_ref: [1, Rp, 1]; log_b_ref: [1, 1, Cp].
-    Outputs only the potentials u [1, Rp, 1] / v [1, 1, Cp] — the final
-    ``M + u + v`` is one fused XLA elementwise pass outside.
+        u_T = log_a − rmax − log(K v̂_{T−1})
 
-    f32 range note: with row stabilization only, a column whose every entry
-    sits ≫80 nats below its row's max can underflow Kᵀû to 0 mid-loop; the
-    guard divides and the exact final iteration keep the result finite and
-    masked-semantics-correct, at some precision loss for such dead columns.
-    Model score spreads (≲40 nats) never approach this."""
+    whose rmax factoring reproduces the log-domain lse stabilizer row-wise
+    exactly (dead/masked rows: K row ≡ 1, a ≡ 0 → u = −log Σv̂, the reference
+    value). The matching final v_T = log_b − lse_rows(M + u_T) needs COLUMN
+    stabilization that the row-stabilized K cannot provide (dead columns
+    hard-underflow to 0), so it runs OUTSIDE as one fused XLA pass over the
+    original M — see log_sinkhorn. Keeping only K resident (exp'd in place
+    over the DMA'd M) and using dot_general for the matvecs holds the
+    in-module VMEM to one [Rp, Cp] buffer + vectors; the two-buffer variant
+    measured 18.6 MB of scoped VMEM under Mosaic's stack allocator and failed
+    to compile at the flagship shape in some surrounding contexts.
+
+    s_hbm: [B, Rp, Cp] in ANY (M already /reg, −1e9 padding).
+    log_a_ref: [1, Rp, 1]; log_b_ref: [1, 1, Cp]. Output: u [1, Rp, 1].
+
+    f32 range note: a column whose every entry sits ≫80 nats below its row's
+    max underflows Kᵀû mid-loop; the guard divides keep iterates finite and
+    the exact XLA final pass restores reference semantics. Model score
+    spreads (≲40 nats) never approach this."""
     b = pl.program_id(0)
     m_in = pltpu.make_async_copy(s_hbm.at[b], m_vmem, sems.at[0])
     m_in.start()
@@ -94,33 +98,29 @@ def _sinkhorn_kernel(
     bb = jnp.exp(log_b)
 
     m_in.wait()
-    M = m_vmem[...]
-    rmax = jnp.max(M, axis=1, keepdims=True)  # [Rp, 1]
-    k_vmem[...] = jnp.exp(M - rmax)
+    rmax = jnp.max(m_vmem[...], axis=1, keepdims=True)  # [Rp, 1]
+    m_vmem[...] = jnp.exp(m_vmem[...] - rmax)  # K, in place
+
+    def kv(v_hat):  # K @ v̂ -> [Rp, 1]
+        return jax.lax.dot_general(
+            m_vmem[...], v_hat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def ktu(u_hat):  # Kᵀ @ û -> [1, Cp]
+        return jax.lax.dot_general(
+            u_hat, m_vmem[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     def body(_, v_hat):
-        K = k_vmem[...]
-        y = jnp.sum(K * v_hat, axis=1, keepdims=True)  # K @ v̂ -> [Rp, 1]
-        u_hat = a / jnp.maximum(y, _TINY)
-        r = jnp.sum(K * u_hat, axis=0, keepdims=True)  # Kᵀ @ û -> [1, Cp]
-        return bb / jnp.maximum(r, _TINY)
+        u_hat = a / jnp.maximum(kv(v_hat), _TINY)
+        return bb / jnp.maximum(ktu(u_hat), _TINY)
 
     v_hat = jax.lax.fori_loop(0, num_iters - 1, body, jnp.ones_like(log_b))
-    v_prev = jnp.log(jnp.maximum(v_hat, _TINY))  # == v_{T-1} on live columns
-
-    def lse_cols(x):  # logsumexp over columns -> [Rp, 1]
-        m = jnp.max(x, axis=1, keepdims=True)
-        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=1, keepdims=True))
-
-    def lse_rows(x):  # logsumexp over rows -> [1, Cp]
-        m = jnp.max(x, axis=0, keepdims=True)
-        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
-
-    # final iteration in the log domain: exact reference semantics everywhere
-    u = log_a - lse_cols(M + v_prev)
-    v = log_b - lse_rows(M + u)
-    u_ref[0] = u
-    v_ref[0] = v
+    u_ref[0] = log_a - rmax - jnp.log(jnp.maximum(kv(v_hat), _TINY))
 
 
 def log_sinkhorn(
@@ -151,7 +151,7 @@ def log_sinkhorn(
     lb = lb.at[:, 0, :cols].set(log_b.astype(jnp.float32))
 
     kernel = functools.partial(_sinkhorn_kernel, num_iters=num_iters)
-    u, v = pl.pallas_call(
+    u = pl.pallas_call(
         kernel,
         grid=(batch,),
         in_specs=[
@@ -159,17 +159,12 @@ def log_sinkhorn(
             pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((batch, 1, cp), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((batch, rp, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rp, cp), jnp.float32),  # M
-            pltpu.VMEM((rp, cp), jnp.float32),  # K = exp(M - rmax)
+            pltpu.VMEM((rp, cp), jnp.float32),  # M, exp'd into K in place
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
@@ -177,10 +172,19 @@ def log_sinkhorn(
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_iters * rp * cp,
             bytes_accessed=batch * rp * cp * 4,
-            transcendentals=3 * batch * rp * cp,
+            transcendentals=batch * rp * cp,
         ),
     )(M_pad, la, lb)
-    log_P = M32 + u[:, :rows, :] + v[:, :, :cols]
+    # Final half-iteration in XLA (one fused pass over M): the column-wise
+    # logsumexp needs column stabilization the row-stabilized in-kernel K
+    # cannot represent for dead columns (see kernel docstring).
+    u = u[:, :rows, :]
+    x = M32 + u  # [B, rows, cols]
+    cmax = jnp.max(x, axis=1, keepdims=True)
+    v = lb[:, :, :cols] - (
+        cmax + jnp.log(jnp.sum(jnp.exp(x - cmax), axis=1, keepdims=True))
+    )
+    log_P = x + v
     return log_P.astype(M.dtype)
 
 
