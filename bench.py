@@ -47,6 +47,10 @@ def build_parser():
     parser.add_argument("--iters-low", type=int, default=4)
     parser.add_argument("--iters-high", type=int, default=16)
     parser.add_argument("--f32", action="store_true", help="float32 compute (default bf16)")
+    parser.add_argument(
+        "--chain-f32", action="store_true",
+        help="keep the GNN residual chain in f32 (default: bf16 when compute is bf16)",
+    )
     parser.add_argument("--pallas", action="store_true", help="measure ONLY the Pallas path")
     parser.add_argument("--xla-only", action="store_true", help="measure ONLY the XLA path")
     parser.add_argument("--pallas-budget-s", type=int, default=1500)
@@ -66,6 +70,7 @@ def measure(args) -> dict:
     from openglue_tpu.train.step import superglue_inputs
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    chain = None if (args.f32 or args.chain_f32) else jnp.bfloat16
     cfg = SuperGlueConfig(
         descriptor_dim=256,
         pe_hidden_layers_sizes=(32, 64, 128),
@@ -76,6 +81,7 @@ def measure(args) -> dict:
         otp_num_iters=20,
         residual=True,
         dtype=dtype,
+        chain_dtype=chain,
         use_pallas=args.pallas,
     )
     model = SuperGlue(cfg)
@@ -93,7 +99,14 @@ def measure(args) -> dict:
         )["matches0"]
 
     def perturb(b, s):
-        return b.replace(side0=b.side0.replace(descriptors=b.side0.descriptors * s))
+        # perturb keypoints too: otherwise the positional-encoding branch is
+        # loop-invariant and XLA hoists it out of the timing loop
+        return b.replace(
+            side0=b.side0.replace(
+                descriptors=b.side0.descriptors * s,
+                keypoints=b.side0.keypoints * s,
+            )
+        )
 
     per_iter = device_timeit(
         run, batch, iters_low=args.iters_low, iters_high=args.iters_high,
@@ -130,7 +143,7 @@ def _child(args, path_flag: str, timeout_s: int):
         "--batch", str(args.batch), "--kpts", str(args.kpts),
         "--iters-low", str(args.iters_low), "--iters-high", str(args.iters_high),
         "--attention", args.attention,
-    ] + (["--f32"] if args.f32 else [])
+    ] + (["--f32"] if args.f32 else []) + (["--chain-f32"] if args.chain_f32 else [])
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
     except (subprocess.TimeoutExpired, OSError):

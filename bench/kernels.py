@@ -31,6 +31,7 @@ def main():
     parser.add_argument("--sinkhorn-iters", type=int, default=20)
     parser.add_argument("--skip-layer", action="store_true")
     parser.add_argument("--skip-lse", action="store_true")
+    parser.add_argument("--skip-bwd", action="store_true")
     args = parser.parse_args()
 
     B, H, N, Dh = args.batch, args.heads, args.kpts, args.dh
@@ -62,6 +63,34 @@ def main():
         "speedup": round(t_xla / t_pal, 2),
         "pallas_iters_per_s": round(iters * B / t_pal, 1),
     }
+
+    if not args.skip_bwd:
+        # backward (training path): grads of the attention in bf16 — the
+        # dtype the model trains in; the bwd kernel's matmul operands must
+        # stay bf16 or the MXU runs at the f32 fraction of peak
+        qb = q.astype(jnp.bfloat16)
+
+        def grads_of(attn_fn):
+            def f(x):
+                return jax.grad(
+                    lambda y: jnp.sum(attn_fn(y).astype(jnp.float32))
+                )(x)
+            return f
+
+        t_xla = device_timeit(
+            grads_of(lambda y: attn_ref.softmax_attention(y, y, y, None)[0]), qb
+        )
+        t_pal = device_timeit(
+            grads_of(
+                lambda y: attention_kernel.masked_softmax_attention(y, y, y, None)
+            ),
+            qb,
+        )
+        results["attention_bwd_bf16"] = {
+            "xla_ms": round(t_xla * 1e3, 3),
+            "pallas_ms": round(t_pal * 1e3, 3),
+            "speedup": round(t_xla / t_pal, 2),
+        }
 
     results["config"] = {"batch": B, "heads": H, "kpts": N, "dh": Dh,
                          "device": str(jax.devices()[0])}

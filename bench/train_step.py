@@ -52,7 +52,15 @@ def main():
         return metrics["total_loss"] + metrics["grad_norm"] + param_norm
 
     def perturb(b, s):
-        return b.replace(side0=b.side0.replace(descriptors=b.side0.descriptors * s))
+        # keypoints too: GT generation and the positional encoding depend only
+        # on keypoints — left constant they are loop-invariant and XLA hoists
+        # them out of the timing loop (a 1+1e-6 scale keeps GT labels intact)
+        return b.replace(
+            side0=b.side0.replace(
+                descriptors=b.side0.descriptors * s,
+                keypoints=b.side0.keypoints * s,
+            )
+        )
 
     seconds = device_timeit(run, batch, perturb=perturb)
     print(

@@ -48,6 +48,13 @@ class SuperGlueConfig:
     no_descriptors: bool = False
     # implementation switches
     dtype: Any = None  # computation dtype; None = float32
+    # dtype of the GNN residual chain (the [B, N, D] descriptors carried
+    # between the 2*num_stages propagation layers). None keeps the promoted
+    # input dtype (f32 — matches reference numerics); bfloat16 halves the
+    # per-layer HBM traffic of the chain (~8% flagship inference) at the cost
+    # of rounding the residual accumulation to bf16. Quality-validated on the
+    # flagship synthetic pose-AUC run (BASELINE.md).
+    chain_dtype: Any = None
     use_pallas: bool = False
     remat: bool = False  # jax.checkpoint each GNN layer (memory for FLOPs)
     ring_axis: Any = None  # mesh axis for hand-scheduled ring attention (CP)
@@ -74,6 +81,7 @@ class SuperGlueConfig:
             residual=cfg.get("residual", False),
             no_descriptors=cfg.get("no_descriptors", False),
             dtype=cfg.get("dtype"),
+            chain_dtype=cfg.get("chain_dtype"),
             use_pallas=cfg.get("use_pallas", False),
             remat=cfg.get("remat", False),
             ring_axis=cfg.get("ring_axis"),
@@ -151,9 +159,12 @@ class SuperGlue(nn.Module):
             name="attention_gnn",
         )
         if cfg.no_descriptors:
-            gdesc0, gdesc1 = gnn(pe0, pe1, mask0, mask1, train)
+            x0, x1 = pe0, pe1
         else:
-            gdesc0, gdesc1 = gnn(desc0 + pe0, desc1 + pe1, mask0, mask1, train)
+            x0, x1 = desc0 + pe0, desc1 + pe1
+        if cfg.chain_dtype is not None:
+            x0, x1 = x0.astype(cfg.chain_dtype), x1.astype(cfg.chain_dtype)
+        gdesc0, gdesc1 = gnn(x0, x1, mask0, mask1, train)
 
         linear_proj = torch_dense(
             cfg.descriptor_dim, cfg.descriptor_dim, dtype=dtype, name="linear_proj"

@@ -259,19 +259,24 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, 
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=1, keepdims=True)  # [N, M]
 
-    g32 = g.astype(jnp.float32)
+    # matmul operands in the input dtype (bf16 in the model): f32 operands
+    # run the MXU at a fraction of bf16 rate; accumulation stays f32 via
+    # preferred_element_type (same contract as the forward kernel's
+    # p.astype(v.dtype) aggregate).
+    pc = p.astype(v.dtype)
     dv = jax.lax.dot_general(
-        p, g32, dimension_numbers=(((0,), (0,)), ((), ())),
+        pc, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [M, Dh]
     dp = jax.lax.dot_general(
-        g32, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [N, M]
-    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))  # [N, M]
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale  # [N, Dh]
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))  # [N, M] f32
+    dsc = ds.astype(q.dtype)
+    dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale  # [N, Dh]
     dk = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        dsc, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [M, Dh]
     dq_ref[0] = dq.astype(dq_ref.dtype)

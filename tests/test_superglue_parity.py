@@ -291,3 +291,29 @@ def test_per_layer_activation_parity():
                     atol=5e-4,
                     err_msg=f"{kind}_{stage} image{img}",
                 )
+
+
+def test_chain_dtype_bf16_close_to_f32_chain():
+    """chain_dtype=bfloat16 (GNN residual chain carried in bf16 — halves the
+    per-layer HBM traffic on TPU) must stay close to the f32-chain forward
+    and keep the transport-mass invariant."""
+    import dataclasses
+
+    _, config, variables = _build_pair(seed=21)
+    inputs = _make_inputs(seed=21)
+
+    ref = _jax_forward(config, variables, inputs)
+    bf = _jax_forward(
+        dataclasses.replace(config, chain_dtype=jnp.bfloat16), variables, inputs
+    )
+
+    # log-assignment scores drift by bf16 rounding accumulated over the chain
+    np.testing.assert_allclose(bf["scores"], ref["scores"], atol=0.15)
+    mass = np.exp(bf["scores"]).sum(axis=(1, 2))
+    n_plus_m = inputs["kpts0"].shape[1] + inputs["kpts1"].shape[1]
+    np.testing.assert_allclose(mass, n_plus_m, rtol=1e-3)
+    # decoded matches agree (the decode thresholds are far from bf16 noise)
+    ref_m = decode_matches(jnp.asarray(ref["scores"]))
+    bf_m = decode_matches(jnp.asarray(bf["scores"]))
+    agree = np.mean(np.asarray(ref_m["matches0"]) == np.asarray(bf_m["matches0"]))
+    assert agree > 0.95, f"match agreement {agree}"
