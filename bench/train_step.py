@@ -25,12 +25,18 @@ def main():
     parser.add_argument("--kpts", type=int, default=1024)
     parser.add_argument("--f32", action="store_true")
     parser.add_argument("--pallas", action="store_true")
+    parser.add_argument(
+        "--chain-bf16", action="store_true",
+        help="carry the GNN residual chain in bf16 (halves layer/activation "
+        "HBM traffic in forward AND backward)",
+    )
     args = parser.parse_args()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     cfg = SuperGlueConfig(
         descriptor_dim=256, pe_hidden_layers_sizes=(32, 64, 128), num_stages=9,
         num_heads=4, otp_num_iters=20, residual=True, dtype=dtype,
+        chain_dtype=jnp.bfloat16 if args.chain_bf16 else None,
         use_pallas=args.pallas,
     )
     model = SuperGlue(cfg)
@@ -74,6 +80,7 @@ def main():
                     "batch": args.batch,
                     "kpts": args.kpts,
                     "dtype": "float32" if args.f32 else "bfloat16",
+                    "chain_bf16": bool(args.chain_bf16),
                     "pallas": bool(args.pallas),
                     "ms_per_step": round(seconds * 1e3, 2),
                 },

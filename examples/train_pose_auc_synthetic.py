@@ -40,6 +40,10 @@ def main():
         "uniform-assignment saddle before full-size steps)",
     )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument(
+        "--chain-bf16", action="store_true",
+        help="carry the GNN residual chain in bf16 (halves layer HBM traffic)",
+    )
     parser.add_argument("--pallas", action="store_true", help="fused Pallas kernels")
     args = parser.parse_args()
 
@@ -52,6 +56,7 @@ def main():
         descriptor_dim=args.dim, pe_hidden_layers_sizes=pe_sizes,
         num_stages=args.stages, num_heads=4, otp_num_iters=args.otp_iters,
         residual=True, dtype=jnp.bfloat16 if args.bf16 else None,
+        chain_dtype=jnp.bfloat16 if args.chain_bf16 else None,
         use_pallas=args.pallas,
     )
     model = SuperGlue(cfg)

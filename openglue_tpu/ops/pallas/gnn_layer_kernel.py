@@ -394,7 +394,12 @@ def fused_attention_propagation(
 ) -> jnp.ndarray:
     """One eval-mode AttentionalPropagation layer, fused. x_q [B, N, D],
     x_kv [B, M, D], kv_mask [B, M] bool or None -> [B, N, D].
-    ``attention_kind``: "softmax" or "linear" (ELU+1 feature map)."""
+    ``attention_kind``: "softmax" or "linear" (ELU+1 feature map).
+    block_q: 1024 measures ~2% faster at the flagship B=16/N=1024 shape
+    (116 vs 114 TFLOP/s, bench/layer_block_sweep.py) but exceeds the 16 MB
+    scoped-VMEM limit at B=32 (measured OOM by 664 KB), so 512 stays the
+    default; the per-step score block is clamped to 256 rows when the key
+    set exceeds 1024 (VMEM)."""
     if attention_kind not in ("softmax", "linear"):
         raise ValueError(f"unsupported attention_kind {attention_kind!r}")
 
