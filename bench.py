@@ -52,6 +52,11 @@ def build_parser():
         help="keep the GNN residual chain in f32 (default: bf16 when compute is bf16)",
     )
     parser.add_argument("--pallas", action="store_true", help="measure ONLY the Pallas path")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="quantized serving path: eval GNN layers on the int8 MXU "
+        "(implies --pallas; decode-agreement-validated, see BASELINE.md)",
+    )
     parser.add_argument("--xla-only", action="store_true", help="measure ONLY the XLA path")
     parser.add_argument("--pallas-budget-s", type=int, default=1500)
     parser.add_argument("--attention", default="softmax")
@@ -83,6 +88,7 @@ def measure(args) -> dict:
         dtype=dtype,
         chain_dtype=chain,
         use_pallas=args.pallas,
+        quantize="int8" if args.int8 else None,
     )
     model = SuperGlue(cfg)
     gen = SyntheticHomographyPairs(num_keypoints=args.kpts, descriptor_dim=256)
@@ -130,6 +136,7 @@ def measure(args) -> dict:
             "dtype": "float32" if args.f32 else "bfloat16",
             "attention": args.attention,
             "pallas": bool(args.pallas),
+            "int8": bool(args.int8),
             "ms_per_batch": round(1000 * per_iter, 3),
             "baseline": "torch reference CPU same host, 1.7 pairs/s @N=1024",
         },
@@ -158,6 +165,8 @@ def _child(args, path_flag: str, timeout_s: int):
 
 def main():
     args = build_parser().parse_args()
+    if args.int8:
+        args.pallas = True  # the int8 path is the quantized fused kernel
 
     if args.pallas or args.xla_only:
         print(json.dumps(measure(args)), flush=True)

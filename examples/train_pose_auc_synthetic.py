@@ -45,6 +45,12 @@ def main():
         help="carry the GNN residual chain in bf16 (halves layer HBM traffic)",
     )
     parser.add_argument("--pallas", action="store_true", help="fused Pallas kernels")
+    parser.add_argument(
+        "--eval-int8", action="store_true",
+        help="after training, evaluate the SAME weights through the int8-MXU "
+        "serving path and print both metric rows (the quantization quality "
+        "guard for the 2x-rate inference kernel)",
+    )
     args = parser.parse_args()
 
     gen = SyntheticReprojectionPairs(
@@ -89,11 +95,11 @@ def main():
     eval_step = jax.jit(make_eval_step(0.2))
     held_out = [gen.sample(jax.random.key(10_000 + i), args.batch) for i in range(4)]
 
-    def evaluate(state):
+    def evaluate(state, step_fn=eval_step):
         auc = CameraPoseAUC()
         epi = EpipolarDistanceMetric()
         for batch in held_out:
-            out = eval_step(state, batch)
+            out = step_fn(state, batch)
             tf = batch.transformation
             k0 = np.asarray(batch.side0.keypoints)
             k1 = np.asarray(batch.side1.keypoints)
@@ -116,6 +122,21 @@ def main():
                 flush=True,
             )
     print(f"total {time.time() - t0:.0f}s")
+
+    if args.eval_int8:
+        import dataclasses
+
+        model_q = SuperGlue(
+            dataclasses.replace(cfg, quantize="int8", use_pallas=True)
+        )
+        state_q = state.replace(apply_fn=model_q.apply)
+        eval_step_q = jax.jit(make_eval_step(0.2))
+        res = evaluate(state_q, eval_step_q)
+        print(
+            "int8 serving path: "
+            + " ".join(f"{k}={v:.3f}" for k, v in res.items()),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -163,6 +163,7 @@ class AttentionalPropagation(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     ring_axis: Optional[str] = None
+    quantize: Optional[str] = None  # "int8": serving path on the int8 MXU
 
     @nn.compact
     def __call__(
@@ -221,6 +222,14 @@ class AttentionalPropagation(nn.Module):
         weights = glk.fold_propagation_weights(
             params, variables["batch_stats"], compute_dtype
         )
+        if self.quantize == "int8" and self.attention == "softmax":
+            from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+            qweights = gli8.quantize_propagation_weights(weights)
+            return gli8.fused_attention_propagation_int8(
+                desc_q, desc_kv, kv_mask, qweights,
+                num_heads=self.num_heads, use_offset=self.use_offset,
+            )
         return glk.fused_attention_propagation(
             desc_q, desc_kv, kv_mask, weights,
             num_heads=self.num_heads, use_offset=self.use_offset,
@@ -246,6 +255,7 @@ class AttentionGNN(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     ring_axis: Optional[str] = None
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -265,6 +275,7 @@ class AttentionGNN(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             ring_axis=self.ring_axis,
+            quantize=self.quantize,
         )
         layer_cls = (
             nn.remat(AttentionalPropagation, static_argnums=(5,))

@@ -58,6 +58,10 @@ class SuperGlueConfig:
     use_pallas: bool = False
     remat: bool = False  # jax.checkpoint each GNN layer (memory for FLOPs)
     ring_axis: Any = None  # mesh axis for hand-scheduled ring attention (CP)
+    # "int8": eval-mode GNN layers run the int8-MXU fused kernel (serving
+    # path; ~2x bf16 MXU rate on the dense chain). Requires use_pallas and
+    # softmax attention; other configs silently keep the bf16 path.
+    quantize: Optional[str] = None
 
     @classmethod
     def from_dict(cls, cfg: Mapping[str, Any]) -> "SuperGlueConfig":
@@ -85,6 +89,7 @@ class SuperGlueConfig:
             use_pallas=cfg.get("use_pallas", False),
             remat=cfg.get("remat", False),
             ring_axis=cfg.get("ring_axis"),
+            quantize=cfg.get("quantize"),
         )
 
 
@@ -156,6 +161,7 @@ class SuperGlue(nn.Module):
             use_pallas=cfg.use_pallas,
             remat=cfg.remat,
             ring_axis=cfg.ring_axis,
+            quantize=cfg.quantize,
             name="attention_gnn",
         )
         if cfg.no_descriptors:

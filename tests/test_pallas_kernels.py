@@ -484,3 +484,123 @@ class TestFusedLinearAttentionLayer:
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, x_kv, w)
         for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+class TestInt8FusedGNNLayer:
+    """int8-MXU fused layer (ops/pallas/gnn_layer_int8.py): kernel vs its own
+    quantized XLA oracle (same math, tight), quantized vs f32 layer (error
+    bound), and model-level decode agreement (the serving-quality guard)."""
+
+    @staticmethod
+    def _qweights(dim, seed=0):
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        w = TestFusedGNNLayer._weights(dim, seed=seed)
+        return w, gli8.quantize_propagation_weights(w)
+
+    def test_matches_quantized_xla_oracle(self):
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        _, qw = self._qweights(dim)
+        ref = gli8.xla_reference_layer_int8(x_q, x_kv, mask, qw, heads)
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_kv, mask, qw, num_heads=heads, block_q=32
+        )
+        # same quantized math, but bf16 attention rounding differs between
+        # interpret and XLA, flipping independent int8 rounding decisions —
+        # compare in norm, not pointwise
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.015, f"kernel-vs-oracle relative error {rel:.4f}"
+
+    def test_quantization_error_bounded_vs_f32(self):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 4
+        x_q = rand(1, 2, 96, dim)
+        w, qw = self._qweights(dim, seed=3)
+        ref = glk.xla_reference_layer(x_q, x_q, None, w, heads, False)
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_q, None, qw, num_heads=heads, block_q=32
+        )
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.03, f"int8 relative error {rel:.4f}"
+
+    def test_offset_variant(self):
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 2
+        x_q, x_kv = rand(3, 1, 50, dim), rand(4, 1, 37, dim)
+        _, qw = self._qweights(dim, seed=5)
+        ref = gli8.xla_reference_layer_int8(x_q, x_kv, None, qw, heads, use_offset=True)
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_kv, None, qw, num_heads=heads, use_offset=True, block_q=32
+        )
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.015, f"kernel-vs-oracle relative error {rel:.4f}"
+
+    def test_module_int8_path_close_to_composed(self):
+        from openglue_tpu.models.gnn import AttentionalPropagation
+
+        dim, heads, n = 64, 4, 512
+        x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([400, n])[:, None]
+        q_mask = jnp.ones((2, n), bool)
+        ref_mod = AttentionalPropagation(embed_dim=dim, num_heads=heads)
+        variables = ref_mod.init(jax.random.key(0), x_q, x_kv, q_mask, kv_mask)
+        ref = ref_mod.apply(variables, x_q, x_kv, q_mask, kv_mask)
+        out = AttentionalPropagation(
+            embed_dim=dim, num_heads=heads, use_pallas=True, quantize="int8"
+        ).apply(variables, x_q, x_kv, q_mask, kv_mask)
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.03, f"int8 module relative error {rel:.4f}"
+
+    @pytest.mark.slow
+    def test_model_decode_agreement(self):
+        """Matches decoded from the int8 serving path must agree with the f32
+        path on the overwhelming majority of keypoints."""
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.matching import decode_matches
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train.step import superglue_inputs
+
+        def model(quantize):
+            return SuperGlue(
+                SuperGlueConfig(
+                    descriptor_dim=64,
+                    pe_hidden_layers_sizes=(32,),
+                    side_info_size=1,
+                    num_stages=2,
+                    num_heads=4,
+                    otp_num_iters=8,
+                    residual=True,
+                    use_pallas=True,
+                    quantize=quantize,
+                )
+            )
+
+        gen = SyntheticHomographyPairs(num_keypoints=512, descriptor_dim=64)
+        batch = gen.sample(jax.random.key(0), 2)
+        inputs = superglue_inputs(batch, train=False)
+        variables = model(None).init(jax.random.key(1), **inputs)
+
+        def matches(quantize):
+            scores = model(quantize).apply(variables, **inputs)["scores"]
+            return decode_matches(
+                scores, mask0=batch.side0.mask, mask1=batch.side1.mask
+            )["matches0"]
+
+        m_ref, m_int8 = matches(None), matches("int8")
+        agreement = float(jnp.mean(m_ref == m_int8))
+        assert agreement >= 0.97, f"decode agreement {agreement:.4f}"
