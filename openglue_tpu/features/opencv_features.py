@@ -37,7 +37,24 @@ def normalize_descriptors(descriptors: np.ndarray, root_norm: bool = True) -> np
 
 def nms_keypoints(kpts: np.ndarray, responses: np.ndarray, radius: float) -> np.ndarray:
     """Greedy radius NMS: accept in response order, suppress all neighbors
-    within ``radius`` (reference base.py:161-182). Returns a keep mask."""
+    within ``radius`` (reference base.py:161-182). Returns a keep mask.
+
+    Dispatches to the C++ grid-hash kernel (openglue_tpu.native, ~40x the
+    scipy KD-tree loop at dense detection counts) and falls back to scipy
+    when the native library is unavailable."""
+    from openglue_tpu import native
+
+    keep = native.nms_keypoints_native(np.asarray(kpts), np.asarray(responses), radius)
+    if keep is not None:
+        return keep
+    return nms_keypoints_scipy(kpts, responses, radius)
+
+
+def nms_keypoints_scipy(
+    kpts: np.ndarray, responses: np.ndarray, radius: float
+) -> np.ndarray:
+    """Reference scipy KD-tree implementation (fallback + parity oracle for
+    the native kernel)."""
     from scipy.spatial import cKDTree
 
     tree = cKDTree(kpts)
