@@ -69,7 +69,7 @@ def measure(args) -> dict:
     import jax.numpy as jnp
 
     from openglue_tpu.data.synthetic import SyntheticHomographyPairs
-    from openglue_tpu.models.matching import decode_matches
+    from openglue_tpu.models.matching import decode_matches_from_stats
     from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
     from openglue_tpu.profiling import device_timeit
     from openglue_tpu.train.step import superglue_inputs
@@ -89,6 +89,7 @@ def measure(args) -> dict:
         chain_dtype=chain,
         use_pallas=args.pallas,
         quantize="int8" if args.int8 else None,
+        decode_stats=True,
     )
     model = SuperGlue(cfg)
     gen = SyntheticHomographyPairs(num_keypoints=args.kpts, descriptor_dim=256)
@@ -100,8 +101,11 @@ def measure(args) -> dict:
 
     def run(b):
         out = model.apply(variables, **superglue_inputs(b, train=False))
-        return decode_matches(
-            out["scores"], mask0=b.side0.mask, mask1=b.side1.mask
+        # stats-based decode: the full scores matrix is unused in this jit, so
+        # XLA dead-code-eliminates its [B, N+1, M+1] materialization
+        return decode_matches_from_stats(
+            out["decode_indices0"], out["decode_indices1"], out["decode_max0"],
+            mask0=b.side0.mask, mask1=b.side1.mask,
         )["matches0"]
 
     def perturb(b, s):

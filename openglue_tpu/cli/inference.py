@@ -106,7 +106,7 @@ class OpenGlueMatcher:
         import jax.numpy as jnp
 
         from openglue_tpu.features.prepare import prepare_features_output
-        from openglue_tpu.models.matching import decode_matches
+        from openglue_tpu.models.matching import decode_from_output
 
         sides = []
         raw_lafs = []
@@ -134,8 +134,8 @@ class OpenGlueMatcher:
                 mask0=s0.mask, mask1=s1.mask,
             ),
         )
-        decoded = decode_matches(
-            out["scores"], self.match_threshold, mask0=s0.mask, mask1=s1.mask
+        decoded = decode_from_output(
+            out, self.match_threshold, mask0=s0.mask, mask1=s1.mask
         )
         matches0 = np.asarray(decoded["matches0"][0])
         conf = np.asarray(decoded["matching_scores0"][0])

@@ -27,15 +27,48 @@ def decode_matches(
       matching_scores0: [B, N] confidence (exp of log-assignment) or 0.
       matching_scores1: [B, M].
     """
+    indices0, indices1, max0 = assignment_stats(scores, mask0=mask0, mask1=mask1)
+    return decode_matches_from_stats(
+        indices0, indices1, max0,
+        match_threshold=match_threshold, mask0=mask0, mask1=mask1,
+    )
+
+
+def assignment_stats(
+    scores: jnp.ndarray,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+):
+    """The three reductions of the log-assignment matrix that the decode
+    consumes: row argmax, column argmax, row max (the confidence source).
+
+    Computing these at the point where log_P is PRODUCED (SuperGlueConfig
+    .decode_stats) lets XLA fuse them into the final Sinkhorn pass; in an
+    inference jit where the full scores matrix is otherwise unused, the
+    [B, N+1, M+1] materialization is then dead-code-eliminated — the decode
+    never touches HBM at matrix size.
+    """
     inner = scores[:, :-1, :-1]
     if mask1 is not None:
         inner = jnp.where(mask1[:, None, :], inner, -jnp.inf)
     if mask0 is not None:
         inner = jnp.where(mask0[:, :, None], inner, -jnp.inf)
-
     indices0 = jnp.argmax(inner, axis=2)  # [B, N]
     indices1 = jnp.argmax(inner, axis=1)  # [B, M]
     max0 = jnp.max(inner, axis=2)
+    return indices0, indices1, max0
+
+
+def decode_matches_from_stats(
+    indices0: jnp.ndarray,
+    indices1: jnp.ndarray,
+    max0: jnp.ndarray,
+    match_threshold: float = 0.2,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Mutual-NN + threshold decode from assignment_stats outputs — identical
+    results to decode_matches, but its inputs are [B, N]-sized."""
     batch, n = indices0.shape
     m = indices1.shape[1]
 
@@ -64,3 +97,20 @@ def decode_matches(
         "matching_scores0": mscores0,
         "matching_scores1": mscores1,
     }
+
+def decode_from_output(
+    out: Dict[str, jnp.ndarray],
+    match_threshold: float = 0.2,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Decode from a SuperGlue output dict, preferring the fused stats
+    (present when SuperGlueConfig.decode_stats) over the full matrix."""
+    if "decode_indices0" in out:
+        return decode_matches_from_stats(
+            out["decode_indices0"], out["decode_indices1"], out["decode_max0"],
+            match_threshold=match_threshold, mask0=mask0, mask1=mask1,
+        )
+    return decode_matches(
+        out["scores"], match_threshold=match_threshold, mask0=mask0, mask1=mask1
+    )

@@ -62,6 +62,11 @@ class SuperGlueConfig:
     # path; ~2x bf16 MXU rate on the dense chain). Requires use_pallas and
     # softmax attention; other configs silently keep the bf16 path.
     quantize: Optional[str] = None
+    # Emit the decode reductions (row/col argmax + row max) alongside the
+    # scores so XLA fuses them into the final Sinkhorn pass; in an inference
+    # jit that decodes from them (decode_matches_from_stats) the full
+    # [B, N+1, M+1] scores materialization is dead-code-eliminated.
+    decode_stats: bool = False
 
     @classmethod
     def from_dict(cls, cfg: Mapping[str, Any]) -> "SuperGlueConfig":
@@ -90,6 +95,7 @@ class SuperGlueConfig:
             remat=cfg.get("remat", False),
             ring_axis=cfg.get("ring_axis"),
             quantize=cfg.get("quantize"),
+            decode_stats=cfg.get("decode_stats", False),
         )
 
 
@@ -224,8 +230,16 @@ class SuperGlue(nn.Module):
                 mask0=mask0,
                 mask1=mask1,
             )
-        return {
+        out = {
             "context_descriptors0": gdesc0,
             "context_descriptors1": gdesc1,
             "scores": log_P,
         }
+        if cfg.decode_stats:
+            from openglue_tpu.models.matching import assignment_stats
+
+            idx0, idx1, max0 = assignment_stats(log_P, mask0=mask0, mask1=mask1)
+            out["decode_indices0"] = idx0
+            out["decode_indices1"] = idx1
+            out["decode_max0"] = max0
+        return out

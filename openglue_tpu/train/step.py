@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from openglue_tpu.core.types import PairBatch
 from openglue_tpu.geometry.gt_matches import generate_gt_matches
 from openglue_tpu.losses import criterion
-from openglue_tpu.models.matching import decode_matches
+from openglue_tpu.models.matching import decode_from_output
 from openglue_tpu.ops.attention import sample_orthogonal_random_matrix
 from openglue_tpu.train.state import MatcherTrainState
 
@@ -122,8 +122,8 @@ def make_eval_step(match_threshold: float = 0.2):
         s0, s1 = batch.side0, batch.side1
         variables = {"params": state.params, **state.model_state}
         out = state.apply_fn(variables, **superglue_inputs(batch, train=False))
-        matches = decode_matches(
-            out["scores"], match_threshold=match_threshold, mask0=s0.mask, mask1=s1.mask
+        matches = decode_from_output(
+            out, match_threshold=match_threshold, mask0=s0.mask, mask1=s1.mask
         )
         matches["scores"] = out["scores"]
         return matches
@@ -207,8 +207,8 @@ def make_online_eval_step(match_threshold: float = 0.2):
         pred, pair = state.apply_fn(
             variables, batch["image0"], batch["image1"], train=False
         )
-        matches = decode_matches(
-            pred["scores"],
+        matches = decode_from_output(
+            pred,
             match_threshold=match_threshold,
             mask0=pair.side0.mask,
             mask1=pair.side1.mask,

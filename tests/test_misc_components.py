@@ -162,3 +162,61 @@ class TestWandbAdapter:
         assert loop_cfg.wandb_project == "p"
         assert loop_cfg.wandb_run_name == "exp_name"
         assert loop_cfg.config_snapshot["logging"]["wandb"] is True
+
+
+class TestDecodeStats:
+    """Stats-based decode (models/matching.py:assignment_stats +
+    decode_matches_from_stats) must equal the matrix decode exactly — it is
+    the same computation reassociated so XLA can fuse the reductions into the
+    final Sinkhorn pass and DCE the scores materialization in inference."""
+
+    def _random_scores(self, seed, b=3, n=40, m=33):
+        rng = np.random.default_rng(seed)
+        raw = rng.normal(size=(b, n + 1, m + 1)).astype(np.float32)
+        mask0 = np.arange(n)[None, :] < np.asarray([n, 30, 17])[:, None]
+        mask1 = np.arange(m)[None, :] < np.asarray([m, 25, 33])[:, None]
+        return jnp.asarray(raw), jnp.asarray(mask0), jnp.asarray(mask1)
+
+    def test_equals_matrix_decode(self):
+        from openglue_tpu.models.matching import (
+            assignment_stats, decode_matches, decode_matches_from_stats,
+        )
+
+        scores, mask0, mask1 = self._random_scores(0)
+        ref = decode_matches(scores, mask0=mask0, mask1=mask1)
+        out = decode_matches_from_stats(
+            *assignment_stats(scores, mask0=mask0, mask1=mask1),
+            mask0=mask0, mask1=mask1,
+        )
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]), err_msg=k)
+
+    def test_model_emits_stats(self):
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.matching import assignment_stats
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train.step import superglue_inputs
+        import dataclasses
+
+        cfg = SuperGlueConfig(
+            descriptor_dim=64, pe_hidden_layers_sizes=(32,), side_info_size=1,
+            num_stages=2, num_heads=4, otp_num_iters=8, residual=True,
+            decode_stats=True,
+        )
+        model = SuperGlue(cfg)
+        gen = SyntheticHomographyPairs(num_keypoints=64, descriptor_dim=64)
+        batch = gen.sample(jax.random.key(0), 2)
+        inputs = superglue_inputs(batch, train=False)
+        variables = model.init(jax.random.key(1), **inputs)
+        out = model.apply(variables, **inputs)
+        idx0, idx1, max0 = assignment_stats(
+            out["scores"], mask0=batch.side0.mask, mask1=batch.side1.mask
+        )
+        np.testing.assert_array_equal(np.asarray(out["decode_indices0"]), np.asarray(idx0))
+        np.testing.assert_array_equal(np.asarray(out["decode_indices1"]), np.asarray(idx1))
+        np.testing.assert_array_equal(np.asarray(out["decode_max0"]), np.asarray(max0))
+        # config without the flag keeps the old output surface
+        plain = SuperGlue(dataclasses.replace(cfg, decode_stats=False)).apply(
+            variables, **inputs
+        )
+        assert "decode_indices0" not in plain
