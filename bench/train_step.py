@@ -30,6 +30,11 @@ def main():
         help="carry the GNN residual chain in bf16 (halves layer/activation "
         "HBM traffic in forward AND backward)",
     )
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="jax.checkpoint each GNN layer (recompute in backward; frees "
+        "activation HBM so larger batches fit)",
+    )
     args = parser.parse_args()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
@@ -37,7 +42,7 @@ def main():
         descriptor_dim=256, pe_hidden_layers_sizes=(32, 64, 128), num_stages=9,
         num_heads=4, otp_num_iters=20, residual=True, dtype=dtype,
         chain_dtype=jnp.bfloat16 if args.chain_bf16 else None,
-        use_pallas=args.pallas,
+        use_pallas=args.pallas, remat=args.remat,
     )
     model = SuperGlue(cfg)
     gen = SyntheticHomographyPairs(num_keypoints=args.kpts, descriptor_dim=256)
@@ -81,6 +86,7 @@ def main():
                     "kpts": args.kpts,
                     "dtype": "float32" if args.f32 else "bfloat16",
                     "chain_bf16": bool(args.chain_bf16),
+                    "remat": bool(args.remat),
                     "pallas": bool(args.pallas),
                     "ms_per_step": round(seconds * 1e3, 2),
                 },

@@ -15,10 +15,12 @@ Two variants, dispatched by ``fits_vmem``:
   * in-VMEM (N <= ~1500): the whole score block lives in VMEM; the kernel
     emits only the potentials so a single double-buffered input block is the
     entire footprint;
-  * HBM-streaming (N = 2048 eval graphs and beyond): the score block stays in
-    HBM and every iteration streams row stripes through two VMEM buffers,
-    fusing the row update with an online column logsumexp — one HBM read of S
-    per iteration vs two read+write passes for XLA.
+  * HBM-streaming (N = 2048 eval graphs and beyond): K = exp(M − rmax) is
+    pre-exponentiated into HBM once, and every iteration streams row stripes
+    of K through two double-buffered VMEM buffers running the pure-FMA
+    scale-domain update (row matvec + online column accumulation) — one HBM
+    read per iteration and zero full-matrix transcendentals, vs two
+    read+write logsumexp passes per iteration for XLA.
 """
 
 from __future__ import annotations
@@ -188,40 +190,42 @@ def log_sinkhorn(
     return log_P.astype(M.dtype)
 
 
-def _blocked_sinkhorn_kernel(
-    s_hbm, log_a_ref, log_b_ref, out_hbm, u_ref, v_ref,
+def _blocked_scale_kernel(
+    k_hbm, log_a_ref, log_b_ref, y_ref, v_hat_ref,
     stripe, sems, *, num_iters: int, r_blk: int,
 ):
-    """Large-graph variant: the [Rp, Cp] score block stays in HBM; every
-    iteration streams row stripes through two VMEM buffers (double-buffered
-    DMA), computing the row update and the online column logsumexp in the
-    same pass — ONE HBM read of S per iteration (the XLA path reads and
-    writes it twice per iteration).
+    """Scale-domain variant of the HBM-streaming kernel (same reformulation
+    as _sinkhorn_kernel): the caller pre-exponentiates K = exp(M − rmax) into
+    HBM once, and every iteration is then ONE streamed FMA pass over K —
+    row matvec y = K v̂, row update û = a ⊘ y, online column accumulation
+    r += ûᵀK — with zero full-matrix transcendentals (the log-domain blocked
+    kernel paid two logsumexp's worth of exp per stripe per iteration and was
+    ~2× the DMA roofline at N=2048). The final u is recovered row-wise as
+    u = log_a − rmax − log(y_T) by the CALLER (which also runs the final
+    column-stabilized half-iteration over the original M, as the in-VMEM
+    kernel does — see log_sinkhorn).
 
-    Grid step = one batch element (ANY-space refs span the FULL array — TPU
-    lowering requires trivial index maps for ANY — and are indexed by
-    pl.program_id). s_hbm/out_hbm: [B, Rp, Cp] in ANY/HBM;
-    log_a_ref: [1, Rp, 1] VMEM (rows; the LAST row is the dustbin row
-    marginal); log_b_ref: [1, 1, Cp] VMEM. The dustbin ROW is stored as the
-    final row stripe like any other (its value is constant, marginal big).
-    u_ref: [Rp, 1] VMEM scratch; v_ref: [1, Cp] VMEM scratch.
+    Grid step = one batch element. k_hbm: [B, Rp, Cp] in ANY (K, dead rows
+    all-ones); log_a [1, Rp, 1]; log_b [1, 1, Cp]. Output: y [1, Rp, 1], the
+    LAST iteration's row matvec K v̂_{T−1} (u recovery). v_hat_ref: VMEM
+    scratch vector.
     """
-    rp = u_ref.shape[0]
-    cp = v_ref.shape[1]
+    rp = y_ref.shape[1]
+    cp = v_hat_ref.shape[1]
     n_blocks = rp // r_blk
     b = pl.program_id(0)
 
+    bb = jnp.exp(log_b_ref[0])  # [1, Cp]
+
     def dma_in(slot, blk):
         return pltpu.make_async_copy(
-            s_hbm.at[b, pl.ds(blk * r_blk, r_blk), :], stripe.at[slot], sems.at[slot]
+            k_hbm.at[b, pl.ds(blk * r_blk, r_blk), :], stripe.at[slot], sems.at[slot]
         )
 
-    v_ref[...] = jnp.zeros_like(v_ref)
+    v_hat_ref[...] = jnp.ones_like(v_hat_ref)
 
     def iteration(it, _):
-        # online column-LSE accumulators
-        def pass_over_stripes(carry, blk, slot):
-            m_col, s_col = carry
+        def pass_over_stripes(r_col, blk, slot):
             dma_in(slot, blk).wait()
             nxt = blk + 1
 
@@ -229,58 +233,28 @@ def _blocked_sinkhorn_kernel(
             def _():
                 dma_in(1 - slot, nxt).start()
 
-            S_blk = stripe[slot]  # [r_blk, cp]
-            x = S_blk + v_ref[...]
-            row_max = jnp.max(x, axis=1, keepdims=True)
-            row_lse = row_max + jnp.log(
-                jnp.sum(jnp.exp(x - row_max), axis=1, keepdims=True)
+            K_blk = stripe[slot]  # [r_blk, cp]
+            y_blk = jnp.maximum(
+                jnp.sum(K_blk * v_hat_ref[...], axis=1, keepdims=True), _TINY
             )
-            u_blk = log_a_ref[0, pl.ds(blk * r_blk, r_blk), :] - row_lse
-            u_ref[pl.ds(blk * r_blk, r_blk), :] = u_blk
-
-            y = S_blk + u_blk  # [r_blk, cp]
-            blk_max = jnp.max(y, axis=0, keepdims=True)
-            new_max = jnp.maximum(m_col, blk_max)
-            s_col = s_col * jnp.exp(m_col - new_max) + jnp.sum(
-                jnp.exp(y - new_max), axis=0, keepdims=True
-            )
-            return new_max, s_col
+            # dead rows: exp(-1e9) = 0 exactly -> no column contribution
+            a_blk = jnp.exp(log_a_ref[0, pl.ds(blk * r_blk, r_blk), :])
+            u_hat = a_blk / y_blk
+            y_ref[0, pl.ds(blk * r_blk, r_blk), :] = y_blk
+            return r_col + jnp.sum(K_blk * u_hat, axis=0, keepdims=True)
 
         dma_in(0, 0).start()
 
         def body(blk, carry):
             return pass_over_stripes(carry, blk, blk % 2)
 
-        m0 = jnp.full((1, cp), _NEG_INF, jnp.float32)
-        s0 = jnp.zeros((1, cp), jnp.float32)
-        m_col, s_col = jax.lax.fori_loop(0, n_blocks, body, (m0, s0))
-        v_ref[...] = log_b_ref[0] - (m_col + jnp.log(s_col))
+        r_col = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((1, cp), jnp.float32))
+        v_hat_ref[...] = bb / jnp.maximum(r_col, _TINY)
         return 0
 
+    # num_iters - 1 full iterations + the final row matvec (its y feeds the
+    # caller's u recovery; the final column update runs outside on M)
     jax.lax.fori_loop(0, num_iters, iteration, 0)
-
-    # output pass: out = S + u + v, streamed
-    def out_pass(blk, _):
-        slot = blk % 2
-        dma_in(slot, blk).wait()
-        nxt = blk + 1
-
-        @pl.when(nxt < n_blocks)
-        def _():
-            dma_in(1 - slot, nxt).start()
-
-        stripe[slot] = (
-            stripe[slot] + u_ref[pl.ds(blk * r_blk, r_blk), :] + v_ref[...]
-        )
-        out_dma = pltpu.make_async_copy(
-            stripe.at[slot], out_hbm.at[b, pl.ds(blk * r_blk, r_blk), :], sems.at[2]
-        )
-        out_dma.start()
-        out_dma.wait()
-        return 0
-
-    dma_in(0, 0).start()
-    jax.lax.fori_loop(0, n_blocks, out_pass, 0)
 
 
 def _log_sinkhorn_blocked(
@@ -292,7 +266,14 @@ def _log_sinkhorn_blocked(
     interpret: bool,
     r_blk: int = 256,
 ) -> jnp.ndarray:
-    """Blocked drop-in for log_sinkhorn for matrices beyond VMEM."""
+    """Blocked drop-in for log_sinkhorn for matrices beyond VMEM.
+
+    XLA pre-exponentiates K = exp(M − rmax) into HBM once (one fused pass);
+    the kernel then streams pure-FMA scale-domain iterations over K (the
+    previous log-domain streaming kernel paid two full-matrix exp's per
+    iteration and ran ~2× the DMA roofline at N=2048); the final
+    column-stabilized half-iteration and the log_P assembly are one more
+    fused XLA pass over M — identical structure to the in-VMEM variant."""
     batch, rows, cols = M.shape
     rp = _round_up(rows, r_blk)
     cp = _round_up(cols, 128)
@@ -305,32 +286,47 @@ def _log_sinkhorn_blocked(
     lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
     lb = lb.at[:, 0, :cols].set(log_b.astype(jnp.float32))
 
-    kernel = functools.partial(_blocked_sinkhorn_kernel, num_iters=num_iters, r_blk=r_blk)
-    out = pl.pallas_call(
+    # row-stabilized K; dead/padded rows are all-ones (rmax = M = -1e9), their
+    # marginal a = 0 keeps them out of every column accumulation
+    rmax = jnp.max(M_pad, axis=2, keepdims=True)  # [B, Rp, 1]
+    K = jnp.exp(M_pad - rmax)
+
+    kernel = functools.partial(_blocked_scale_kernel, num_iters=num_iters, r_blk=r_blk)
+    y = pl.pallas_call(
         kernel,
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # full array; indexed by program_id
+            pl.BlockSpec(memory_space=pl.ANY),  # K; indexed by program_id
             pl.BlockSpec((1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((batch, rp, cp), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, rp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, rp, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rp, 1), jnp.float32),
-            pltpu.VMEM((1, cp), jnp.float32),
-            pltpu.VMEM((2, r_blk, cp), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((1, cp), jnp.float32),  # v̂
+            pltpu.VMEM((2, r_blk, cp), jnp.float32),  # stripes
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
-            flops=6 * batch * num_iters * rp * cp,
-            bytes_accessed=batch * rp * cp * 4 * (num_iters + 2),
-            transcendentals=2 * batch * num_iters * rp * cp,
+            flops=4 * batch * num_iters * rp * cp,
+            bytes_accessed=batch * rp * cp * 4 * num_iters,
+            transcendentals=batch * (rp + cp) * num_iters,
         ),
-    )(M_pad, la, lb)
-    return out[:, :rows, :cols].astype(M.dtype)
+    )(K, la, lb)
+
+    # u_T from the last row matvec, then the final column-stabilized
+    # half-iteration + log_P assembly in one fused XLA pass over M
+    u = (la - rmax - jnp.log(jnp.maximum(y, _TINY)))[:, :rows, :]
+    x = M32 + u
+    cmax = jnp.max(x, axis=1, keepdims=True)
+    v = lb[:, :, :cols] - (
+        cmax + jnp.log(jnp.sum(jnp.exp(x - cmax), axis=1, keepdims=True))
+    )
+    return (x + v).astype(M.dtype)
 
 
 def _sinkhorn_adjoint_factors_kernel(

@@ -123,6 +123,36 @@ class TestSinkhornKernel:
         ) - norm
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_blocked_kernel_masked(self):
+        """Dead rows/columns (masked keypoints) through the streaming kernel:
+        the scale-domain form turns a dead row into an all-ones K row with
+        zero marginal — its potential must still match the XLA reference."""
+        scores = rand(5, 2, 40, 52)
+        dustbin = jnp.asarray(0.7)
+        mask0 = jnp.arange(40)[None, :] < jnp.asarray([40, 25])[:, None]
+        mask1 = jnp.arange(52)[None, :] < jnp.asarray([37, 52])[:, None]
+        ref = sink_ref.log_optimal_transport(
+            scores, dustbin, num_iters=10, mask0=mask0, mask1=mask1
+        )
+
+        S_inner, S_dust, log_a_inner, log_a_dust, log_b, norm = (
+            sink_ref.build_masked_otp_inputs(scores, dustbin, 1.0, mask0, mask1)
+        )
+        S_aug = jnp.concatenate([S_inner, S_dust], axis=1)
+        log_a = jnp.concatenate([log_a_inner, log_a_dust[:, None]], axis=1)
+        out = sinkhorn_kernel._log_sinkhorn_blocked(
+            log_a, log_b, S_aug, num_iters=10, reg=1.0, interpret=True, r_blk=8
+        ) - norm[:, None, None]
+        valid = (
+            jnp.concatenate([mask0, jnp.ones((2, 1), bool)], 1)[:, :, None]
+            & jnp.concatenate([mask1, jnp.ones((2, 1), bool)], 1)[:, None, :]
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.where(valid, out, 0.0)),
+            np.asarray(jnp.where(valid, ref, 0.0)),
+            atol=1e-5,
+        )
+
 
 class TestPallasModelPath:
     def test_superglue_forward_use_pallas_matches_xla(self):
