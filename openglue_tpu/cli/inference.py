@@ -54,6 +54,11 @@ class OpenGlueMatcher:
         self.laf_converter = get_laf_to_sideinfo_converter(laf_method)
         descriptor_dim = int(features_config["descriptor_dim"])
         sg_config = superglue_config_from(config, descriptor_dim, self.laf_converter.side_info_dim)
+        # inference decodes from the fused stats (decode_from_output), so the
+        # full score matrix never materializes (params are unaffected)
+        import dataclasses
+
+        sg_config = dataclasses.replace(sg_config, decode_stats=True)
         self.matcher = SuperGlue(sg_config)
         self.variables = variables
 

@@ -198,11 +198,11 @@ class AttentionalPropagation(nn.Module):
 
     def _fused_layer(self, desc_q, desc_kv, kv_mask, train):
         """Whole-layer Pallas kernel (ops/pallas/gnn_layer_kernel.py):
-        projections + attention (softmax or linear) + FFN fused in VMEM.
-        Eval-mode only (BN folds to an affine there); init and small shapes
-        take the composed path. Returns None when not applicable."""
+        projections + attention (softmax / linear / FAVOR) + FFN fused in
+        VMEM. Eval-mode only (BN folds to an affine there); init and small
+        shapes take the composed path. Returns None when not applicable."""
         if (
-            self.attention not in ("softmax", "linear")
+            self.attention not in ("softmax", "linear", "favor_relu", "favor_softmax")
             or not self.use_pallas
             or self.ring_axis is not None
             or train
@@ -218,6 +218,14 @@ class AttentionalPropagation(nn.Module):
         params = variables.get("params", {})
         if "mha" not in params or "ffn" not in params:
             return None
+        projection = None
+        if self.attention in ("favor_relu", "favor_softmax"):
+            # the non-trainable orthogonal projection the composed path holds
+            # in the favor_projections collection (redrawn by the train loop)
+            favor = variables.get("favor_projections", {})
+            if "mha" not in favor:
+                return None
+            projection = favor["mha"]["projection"]
         compute_dtype = self.dtype or desc_q.dtype
         weights = glk.fold_propagation_weights(
             params, variables["batch_stats"], compute_dtype
@@ -233,7 +241,7 @@ class AttentionalPropagation(nn.Module):
         return glk.fused_attention_propagation(
             desc_q, desc_kv, kv_mask, weights,
             num_heads=self.num_heads, use_offset=self.use_offset,
-            attention_kind=self.attention,
+            attention_kind=self.attention, projection=projection,
         )
 
 

@@ -157,25 +157,33 @@ def masked_softmax_attention_with_lse(
     interpret: Optional[bool] = None,
 ):
     """(out, lse) kernel for ring-schedule block attention. Differentiable:
-    backward replays ops.attention.softmax_attention_with_lse in XLA."""
+    backward replays ops.attention.softmax_attention_with_lse in XLA.
+
+    The mask travels as a PRIMAL argument (float, zero cotangent) rather
+    than a closure: a closed-over traced mask escapes jax.checkpoint's trace
+    when the caller is rematerialized (UnexpectedTracerError)."""
+    maskf = None if kv_mask is None else kv_mask.astype(jnp.float32)
 
     @jax.custom_vjp
-    def f(q, k, v):
-        return _forward_lse(q, k, v, kv_mask, block_q, interpret)
+    def f(q, k, v, m):
+        return _forward_lse(q, k, v, m, block_q, interpret)
 
-    def f_fwd(q, k, v):
-        return f(q, k, v), (q, k, v)
+    def f_fwd(q, k, v, m):
+        return f(q, k, v, m), (q, k, v, m)
 
     def f_bwd(residuals, g):
-        q, k, v = residuals
+        q, k, v, m = residuals
         _, vjp = jax.vjp(
-            lambda q_, k_, v_: attn_ref.softmax_attention_with_lse(q_, k_, v_, kv_mask),
+            lambda q_, k_, v_: attn_ref.softmax_attention_with_lse(
+                q_, k_, v_, None if m is None else m > 0.5
+            ),
             q, k, v,
         )
-        return vjp(g)
+        dm = None if m is None else jnp.zeros_like(m)
+        return (*vjp(g), dm)
 
     f.defvjp(f_fwd, f_bwd)
-    return f(query, key, value)
+    return f(query, key, value, maskf)
 
 
 def _forward(
@@ -354,27 +362,34 @@ def masked_softmax_attention(
     """Drop-in for ops.attention.softmax_attention (out only, no attn matrix).
 
     query: [B, H, N, Dh]; key/value: [B, H, M, Dh]; kv_mask: [B, M] or None.
+    The mask is a primal argument with a zero cotangent (NOT a closure) so
+    the kernel composes with jax.checkpoint — see
+    masked_softmax_attention_with_lse.
     """
+    maskf = None if kv_mask is None else kv_mask.astype(jnp.float32)
 
     @jax.custom_vjp
-    def f(q, k, v):
-        return _forward(q, k, v, kv_mask, block_q, interpret)
+    def f(q, k, v, mk):
+        return _forward(q, k, v, mk, block_q, interpret)
 
-    def f_fwd(q, k, v):
-        return f(q, k, v), (q, k, v)
+    def f_fwd(q, k, v, mk):
+        return f(q, k, v, mk), (q, k, v, mk)
 
     def f_bwd(residuals, g):
-        q, k, v = residuals
+        q, k, v, mk = residuals
+        dm = None if mk is None else jnp.zeros_like(mk)
         n, m, dh = q.shape[2], k.shape[2], q.shape[3]
         if _bwd_fits_vmem(n, m, dh):
-            return _backward(q, k, v, kv_mask, g, interpret)
+            return (*_backward(q, k, v, mk, g, interpret), dm)
         _, vjp = jax.vjp(
-            lambda q_, k_, v_: attn_ref.softmax_attention(q_, k_, v_, kv_mask)[0],
+            lambda q_, k_, v_: attn_ref.softmax_attention(
+                q_, k_, v_, None if mk is None else mk > 0.5
+            )[0],
             q,
             k,
             v,
         )
-        return vjp(g)
+        return (*vjp(g), dm)
 
     f.defvjp(f_fwd, f_bwd)
-    return f(query, key, value)
+    return f(query, key, value, maskf)

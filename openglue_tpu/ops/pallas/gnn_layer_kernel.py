@@ -105,6 +105,8 @@ def _dot(a, b):
 
 
 _ELU_EPS = 1e-6  # ops.attention.linear_attention_elu
+_FAVOR_EPS = 1e-8  # ops.attention.favor_features_*
+_FEATURE_KINDS = ("linear", "favor_relu", "favor_softmax")
 
 
 def _elu1p(x):
@@ -115,19 +117,21 @@ def _elu1p(x):
 def _layer_kernel(
     x_q_ref, x_kv_ref, mask_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-    w1_ref, b1_ref, a1_ref, c1_ref, w2_ref, b2_ref,
+    w1_ref, b1_ref, a1_ref, c1_ref, w2_ref, b2_ref, proj_ref,
     out_ref,
     k_scratch, v_scratch,
     *, num_heads: int, use_offset: bool, scale: float, compute_dtype,
-    attention_kind: str,
+    attention_kind: str, num_features: int,
 ):
     """Block shapes: x_q [1, BQ, D]; x_kv [1, M, D]; mask [1, 1, M] float;
+    proj [F, dh] (FAVOR random projection; 1x1 placeholder otherwise);
     out [1, BQ, D].
 
     Scratch (persists across query blocks; filled at the first block):
       * softmax: k/v projections [M, D] in compute dtype;
-      * linear (ELU+1 feature map, O(N)): the per-head KV aggregates stacked
-        as [D, dh] plus the feature-sum normalizer row [1, D] — the key set
+      * feature-map family (linear ELU+1 with F=dh, FAVOR-relu / FAVOR-softmax
+        with F=num_features; all O(N)): the per-head KV aggregates stacked as
+        [H*F, dh] plus the feature-sum normalizer row [1, H*F] — the key set
         is consumed entirely at the first block.
 
     Inputs/outputs stay in the descriptor dtype (f32 in the model: the
@@ -136,8 +140,36 @@ def _layer_kernel(
     i = pl.program_id(1)
     dim = wq_ref.shape[0]
     dh = dim // num_heads
+    F = num_features
     # additive mask: one add on the logits instead of a select
     mask_add = (1.0 - mask_ref[0]) * _NEG_INF  # [1, M]: 0 valid / -1e9 pad
+    data_norm = dh**-0.25  # FAVOR input normalizer (ops.attention)
+    ratio = F**-0.5  # FAVOR-softmax estimator scale
+
+    def _favor_proj(xh):
+        # (x * dh^-0.25) @ proj^T -> [rows, F] f32
+        return jax.lax.dot_general(
+            (xh * data_norm).astype(compute_dtype), proj_ref[...].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _features(xh, is_query):
+        """Per-head feature map [rows, dh] -> [rows, F] f32 (f32 input).
+        Mirrors ops.attention: linear_attention_elu / favor_features_relu /
+        favor_features_softmax (query: per-row max of the projection; key:
+        global max of the projection over valid keypoints x features)."""
+        if attention_kind == "linear":
+            return _elu1p(xh) + _ELU_EPS
+        ph = _favor_proj(xh)
+        if attention_kind == "favor_relu":
+            return jax.nn.relu(ph) + _FAVOR_EPS
+        diag = 0.5 * jnp.sum(jnp.square(xh * data_norm), axis=1, keepdims=True)
+        if is_query:
+            stab = jnp.max(ph, axis=1, keepdims=True)
+        else:
+            stab = jnp.max(ph + jnp.transpose(mask_add), keepdims=True)
+        return ratio * (jnp.exp(ph - diag - stab) + _FAVOR_EPS)
 
     if attention_kind == "softmax":
 
@@ -147,26 +179,26 @@ def _layer_kernel(
             k_scratch[...] = (_dot(kv, wk_ref[...]) + bk_ref[...]).astype(k_scratch.dtype)
             v_scratch[...] = (_dot(kv, wv_ref[...]) + bv_ref[...]).astype(v_scratch.dtype)
 
-    else:  # linear
+    else:  # feature-map family
 
         @pl.when(i == 0)
         def _aggregate_kv():
             kv = x_kv_ref[0].astype(compute_dtype)
             k = _dot(kv, wk_ref[...]) + bk_ref[...]  # f32 [M, D]
-            kf = _elu1p(k) + _ELU_EPS
+            v = (_dot(kv, wv_ref[...]) + bv_ref[...]).astype(compute_dtype)
             # zero masked key rows; float transpose (Mosaic cannot transpose
             # an i1 vector) and multiply instead of where
-            kf = kf * jnp.transpose(mask_ref[0])  # [M, 1] broadcast
-            v = (_dot(kv, wv_ref[...]) + bv_ref[...]).astype(compute_dtype)
-            kfc = kf.astype(compute_dtype)
+            mask_col = jnp.transpose(mask_ref[0])  # [M, 1]
             for h in range(num_heads):
                 sl = slice(h * dh, (h + 1) * dh)
-                k_scratch[sl, :] = jax.lax.dot_general(
-                    kfc[:, sl], v[:, sl],
+                kf = _features(k[:, sl], is_query=False) * mask_col  # [M, F]
+                fsl = slice(h * F, (h + 1) * F)
+                k_scratch[fsl, :] = jax.lax.dot_general(
+                    kf.astype(compute_dtype), v[:, sl],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [dh, dh]
-            v_scratch[...] = jnp.sum(kf, axis=0, keepdims=True)  # [1, D]
+                )  # [F, dh]
+                v_scratch[0, fsl] = jnp.sum(kf, axis=0)
 
     xq = x_q_ref[0].astype(compute_dtype)  # [BQ, D]
     q = (_dot(xq, wq_ref[...]) + bq_ref[...]).astype(compute_dtype)  # [BQ, D]
@@ -188,13 +220,14 @@ def _layer_kernel(
             o = _dot(p.astype(compute_dtype), v_scratch[:, sl])  # [BQ, dh] f32
             head_outs.append(o / denom)
     else:
-        qf = _elu1p(q.astype(jnp.float32)) + _ELU_EPS  # [BQ, D]
-        qfc = qf.astype(compute_dtype)
+        q32 = q.astype(jnp.float32)
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
-            o = _dot(qfc[:, sl], k_scratch[sl, :])  # [BQ, dh] f32
+            fsl = slice(h * F, (h + 1) * F)
+            qf = _features(q32[:, sl], is_query=True)  # [BQ, F]
+            o = _dot(qf.astype(compute_dtype), k_scratch[fsl, :])  # [BQ, dh] f32
             norm = jnp.sum(
-                qf[:, sl] * v_scratch[0, sl][None, :], axis=1, keepdims=True
+                qf * v_scratch[0, fsl][None, :], axis=1, keepdims=True
             )
             head_outs.append(o / norm)
     attn = jnp.concatenate(head_outs, axis=1).astype(compute_dtype)  # [BQ, D]
@@ -220,11 +253,21 @@ def _forward_pallas(
     block_q: int,
     interpret: Optional[bool],
     attention_kind: str,
+    projection: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
+    dh = dim // num_heads
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    if attention_kind in ("favor_relu", "favor_softmax"):
+        if projection is None:
+            raise ValueError(f"{attention_kind} needs the FAVOR projection matrix")
+        proj = projection.astype(jnp.float32)
+        num_features = proj.shape[0]
+    else:
+        proj = jnp.zeros((8, dh), jnp.float32)  # unused placeholder
+        num_features = dh
 
     # keep the per-step [BQ, M] f32 score block under ~2 MB
     if m > 1024 and attention_kind == "softmax":
@@ -263,16 +306,17 @@ def _forward_pallas(
         scale=(dim // num_heads) ** -0.5,
         compute_dtype=compute_dtype,
         attention_kind=attention_kind,
+        num_features=num_features,
     )
     if attention_kind == "softmax":
         scratch = [
             pltpu.VMEM((m_pad, dim), compute_dtype),
             pltpu.VMEM((m_pad, dim), compute_dtype),
         ]
-    else:  # linear: per-head KV aggregates + feature-sum normalizer
+    else:  # feature family: per-head KV aggregates + feature-sum normalizer
         scratch = [
-            pltpu.VMEM((dim, dim // num_heads), jnp.float32),
-            pltpu.VMEM((1, dim), jnp.float32),
+            pltpu.VMEM((num_heads * num_features, dh), jnp.float32),
+            pltpu.VMEM((1, num_heads * num_features), jnp.float32),
         ]
     out = pl.pallas_call(
         kernel,
@@ -282,6 +326,7 @@ def _forward_pallas(
             pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             *weight_specs,
+            const(*proj.shape),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -295,7 +340,7 @@ def _forward_pallas(
             bytes_accessed=(x_q.size + x_kv.size + x_q.size) * x_q.dtype.itemsize,
             transcendentals=batch * n_pad * m_pad,
         ),
-    )(x_q, x_kv, mask, *_weights_in_call_order(w))
+    )(x_q, x_kv, mask, *_weights_in_call_order(w), proj)
     return out[:, :n]
 
 
@@ -314,6 +359,7 @@ def xla_reference_layer(
     num_heads: int,
     use_offset: bool,
     attention_kind: str = "softmax",
+    projection: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Same math as the kernel in plain XLA ops — parity oracle and the
     backward replay for the custom_vjp."""
@@ -346,7 +392,7 @@ def xla_reference_layer(
             logits = jnp.where(kv_mask[:, None, None, :], logits, _NEG_INF)
         p = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dtype), split(v))
-    else:  # linear: ELU+1 feature map (ops.attention.linear_attention_elu)
+    elif attention_kind == "linear":  # ELU+1 (ops.attention.linear_attention_elu)
         qf = jax.nn.elu(q.astype(jnp.float32)) + 1.0 + _ELU_EPS
         kf = jax.nn.elu(k.astype(jnp.float32)) + 1.0 + _ELU_EPS
         if kv_mask is not None:
@@ -356,6 +402,22 @@ def xla_reference_layer(
         out = jnp.einsum("bhnk,bhkd->bhnd", qfh, kv)
         norm = jnp.einsum("bhnk,bhk->bhn", split(qf), jnp.sum(split(kf), axis=2))
         out = out / norm[..., None]
+    else:  # favor_relu / favor_softmax — same math as ops.attention
+        from openglue_tpu.ops import attention as attn_ops
+
+        proj32 = projection.astype(jnp.float32)
+        qh, kh = split(q).astype(jnp.float32), split(k).astype(jnp.float32)
+        if attention_kind == "favor_relu":
+            q_feat = attn_ops.favor_features_relu(qh, proj32)
+            k_feat = attn_ops.favor_features_relu(kh, proj32)
+        else:
+            q_feat = attn_ops.favor_features_softmax(qh, proj32, is_query=True)
+            k_feat = attn_ops.favor_features_softmax(
+                kh, proj32, is_query=False, kv_mask=kv_mask
+            )
+        out, _ = attn_ops.linear_attention(
+            q_feat.astype(dtype), k_feat.astype(dtype), split(v), kv_mask
+        )
     attn = out.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(dtype)
 
     msg = dense(attn, w.wo, w.bo)
@@ -391,37 +453,48 @@ def fused_attention_propagation(
     block_q: int = 512,
     interpret: Optional[bool] = None,
     attention_kind: str = "softmax",
+    projection: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One eval-mode AttentionalPropagation layer, fused. x_q [B, N, D],
     x_kv [B, M, D], kv_mask [B, M] bool or None -> [B, N, D].
-    ``attention_kind``: "softmax" or "linear" (ELU+1 feature map).
+    ``attention_kind``: "softmax", "linear" (ELU+1 feature map), or
+    "favor_relu"/"favor_softmax" (Performer; pass the [F, dh] orthogonal
+    ``projection`` — treated as a constant, matching the non-trainable
+    favor_projections variable collection).
     block_q: 1024 measures ~2% faster at the flagship B=16/N=1024 shape
     (116 vs 114 TFLOP/s, bench/layer_block_sweep.py) but exceeds the 16 MB
     scoped-VMEM limit at B=32 (measured OOM by 664 KB), so 512 stays the
     default; the per-step score block is clamped to 256 rows when the key
     set exceeds 1024 (VMEM)."""
-    if attention_kind not in ("softmax", "linear"):
+    if attention_kind not in ("softmax",) + _FEATURE_KINDS:
         raise ValueError(f"unsupported attention_kind {attention_kind!r}")
+    # mask/projection travel as primal arguments (zero cotangents), not
+    # closures: closed-over tracers escape jax.checkpoint when the caller is
+    # rematerialized (same fix as attention_kernel.masked_softmax_attention)
+    maskf = None if kv_mask is None else kv_mask.astype(jnp.float32)
 
     @jax.custom_vjp
-    def f(x_q, x_kv, w):
+    def f(x_q, x_kv, w, mk, pr):
         return _forward_pallas(
-            x_q, x_kv, kv_mask, w, num_heads, use_offset, block_q, interpret,
-            attention_kind,
+            x_q, x_kv, mk, w, num_heads, use_offset, block_q, interpret,
+            attention_kind, pr,
         )
 
-    def f_fwd(x_q, x_kv, w):
-        return f(x_q, x_kv, w), (x_q, x_kv, w)
+    def f_fwd(x_q, x_kv, w, mk, pr):
+        return f(x_q, x_kv, w, mk, pr), (x_q, x_kv, w, mk, pr)
 
     def f_bwd(residuals, g):
-        x_q, x_kv, w = residuals
+        x_q, x_kv, w, mk, pr = residuals
         _, vjp = jax.vjp(
             lambda a, b, c: xla_reference_layer(
-                a, b, kv_mask, c, num_heads, use_offset, attention_kind
+                a, b, None if mk is None else mk > 0.5, c, num_heads,
+                use_offset, attention_kind, pr,
             ),
             x_q, x_kv, w,
         )
-        return vjp(g)
+        dm = None if mk is None else jnp.zeros_like(mk)
+        dp = None if pr is None else jnp.zeros_like(pr)
+        return (*vjp(g), dm, dp)
 
     f.defvjp(f_fwd, f_bwd)
-    return f(x_q, x_kv, weights)
+    return f(x_q, x_kv, weights, maskf, projection)

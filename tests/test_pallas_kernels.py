@@ -634,3 +634,104 @@ class TestInt8FusedGNNLayer:
         m_ref, m_int8 = matches(None), matches("int8")
         agreement = float(jnp.mean(m_ref == m_int8))
         assert agreement >= 0.97, f"decode agreement {agreement:.4f}"
+
+
+class TestFusedFAVORLayer:
+    """FAVOR-relu / FAVOR-softmax through the fused whole-layer kernel
+    (ops/pallas/gnn_layer_kernel.py feature-map branch) — completes SURVEY §5
+    "all variants in single-chip (Pallas) form"."""
+
+    @staticmethod
+    def _setup(dim=128, heads=4, seed=0):
+        from openglue_tpu.ops.attention import sample_orthogonal_random_matrix
+
+        w = TestFusedGNNLayer._weights(dim, seed=seed)
+        dh = dim // heads
+        proj = sample_orthogonal_random_matrix(jax.random.key(100 + seed), 2 * dh, dh)
+        return w, proj
+
+    @pytest.mark.parametrize("kind", ["favor_relu", "favor_softmax"])
+    def test_matches_xla_reference_with_mask(self, kind):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        w, proj = self._setup(dim, heads)
+        ref = glk.xla_reference_layer(x_q, x_kv, mask, w, heads, False, kind, proj)
+        out = glk.fused_attention_propagation(
+            x_q, x_kv, mask, w, num_heads=heads, block_q=32,
+            attention_kind=kind, projection=proj,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    @pytest.mark.parametrize("kind", ["favor_relu", "favor_softmax"])
+    def test_grads_match_composed(self, kind):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 64, 2
+        x_q = rand(7, 1, 40, dim)
+        x_kv = rand(8, 1, 33, dim)
+        w, proj = self._setup(dim, heads, seed=2)
+
+        def loss_kernel(a, b, c):
+            out = glk.fused_attention_propagation(
+                a, b, None, c, num_heads=heads, block_q=32,
+                attention_kind=kind, projection=proj,
+            )
+            return jnp.sum(out**2)
+
+        def loss_ref(a, b, c):
+            out = glk.xla_reference_layer(a, b, None, c, heads, False, kind, proj)
+            return jnp.sum(out**2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x_q, x_kv, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, x_kv, w)
+        for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    @pytest.mark.parametrize("kind", ["favor_relu", "favor_softmax"])
+    def test_module_fused_matches_composed(self, kind):
+        from openglue_tpu.models.gnn import AttentionalPropagation
+
+        dim, heads, n = 64, 4, 512
+        x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([400, n])[:, None]
+        q_mask = jnp.ones((2, n), bool)
+        mod = AttentionalPropagation(embed_dim=dim, num_heads=heads, attention=kind)
+        variables = mod.init(jax.random.key(0), x_q, x_kv, q_mask, kv_mask)
+        ref = mod.apply(variables, x_q, x_kv, q_mask, kv_mask)
+        out = AttentionalPropagation(
+            embed_dim=dim, num_heads=heads, attention=kind, use_pallas=True
+        ).apply(variables, x_q, x_kv, q_mask, kv_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+class TestRematComposesWithPallas:
+    """jax.checkpoint around a layer whose Pallas custom_vjp takes the mask as
+    a primal argument (regression: a closed-over traced mask escaped the
+    checkpoint trace -> UnexpectedTracerError in remat training)."""
+
+    def test_grad_through_remat_pallas_layer(self):
+        from openglue_tpu.models.gnn import AttentionalPropagation
+        from flax import linen as nn
+
+        dim, heads, n = 64, 4, 512
+        x = rand(1, 2, n, dim)
+        mask = jnp.arange(n)[None, :] < jnp.asarray([400, n])[:, None]
+        mod = AttentionalPropagation(embed_dim=dim, num_heads=heads)
+        variables = mod.init(jax.random.key(0), x, x, mask, mask, True)
+
+        remat_mod = nn.remat(AttentionalPropagation, static_argnums=(5,))(
+            embed_dim=dim, num_heads=heads, use_pallas=True
+        )
+
+        def loss(v, xx):
+            out, _ = remat_mod.apply(
+                v, xx, xx, mask, mask, True, mutable=["batch_stats"]
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1)))(variables, x)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
