@@ -214,6 +214,11 @@ class AttentionalPropagation(nn.Module):
 
         if not use_pallas_for_shape(desc_q.shape[1], desc_kv.shape[1]):
             return None
+        if self.attention in ("favor_relu", "favor_softmax") and desc_kv.shape[1] <= 1024:
+            # the F=2*dh feature maps make the fused FAVOR kernel lose to
+            # XLA's batched einsums below eval scale (0.96x at N=1024, 1.07x
+            # at N=2048 — BASELINE.md sweep); dispatch keeps it a never-lose
+            return None
         variables = self.variables
         params = variables.get("params", {})
         if "mha" not in params or "ffn" not in params:

@@ -694,9 +694,11 @@ class TestFusedFAVORLayer:
     def test_module_fused_matches_composed(self, kind):
         from openglue_tpu.models.gnn import AttentionalPropagation
 
-        dim, heads, n = 64, 4, 512
+        # n above the FAVOR dispatch gate (fused kernel only beyond N=1024)
+        # so the module -> kernel wiring (projection extraction) is exercised
+        dim, heads, n = 64, 4, 1152
         x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
-        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([400, n])[:, None]
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([900, n])[:, None]
         q_mask = jnp.ones((2, n), bool)
         mod = AttentionalPropagation(embed_dim=dim, num_heads=heads, attention=kind)
         variables = mod.init(jax.random.key(0), x_q, x_kv, q_mask, kv_mask)
