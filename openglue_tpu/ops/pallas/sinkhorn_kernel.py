@@ -125,6 +125,24 @@ def _sinkhorn_kernel(
     u_ref[0] = log_a - rmax - jnp.log(jnp.maximum(kv(v_hat), _TINY))
 
 
+def _pad_granularity(rows: int, cols: int, r_blk: int = 256):
+    """(rp, cp, blocked) for the variant the shape dispatches to."""
+    blocked = not fits_vmem(rows, cols)
+    rp = _round_up(rows, r_blk if blocked else 8)
+    return rp, _round_up(cols, 128), blocked
+
+
+def _padded_marginals(log_a, log_b, rows, cols, rp, cp):
+    """Padded rows/cols get -inf marginals: their potentials never matter
+    because every matrix entry they touch is -inf too."""
+    batch = log_a.shape[0]
+    la = jnp.full((batch, rp, 1), _NEG_INF, jnp.float32)
+    la = la.at[:, :rows, 0].set(log_a.astype(jnp.float32))
+    lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
+    lb = lb.at[:, 0, :cols].set(log_b.astype(jnp.float32))
+    return la, lb
+
+
 def log_sinkhorn(
     log_a: jnp.ndarray,
     log_b: jnp.ndarray,
@@ -136,21 +154,31 @@ def log_sinkhorn(
     """Drop-in for ops.sinkhorn.log_sinkhorn. M: [B, R, C]. Dispatches to the
     HBM-streaming blocked kernel when the matrix exceeds VMEM."""
     batch, rows, cols = M.shape
-    rp, cp = _round_up(rows, 8), _round_up(cols, 128)
+    rp, cp, blocked = _pad_granularity(rows, cols)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
-    if not fits_vmem(rows, cols):
-        return _log_sinkhorn_blocked(log_a, log_b, M, num_iters, reg, interpret)
 
-    M32 = (M / reg).astype(jnp.float32)
     M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
-    M_pad = M_pad.at[:, :rows, :cols].set(M32)
-    # Padded rows/cols get -inf marginals: their potentials never matter
-    # because every matrix entry they touch is -inf too.
-    la = jnp.full((batch, rp, 1), _NEG_INF, jnp.float32)
-    la = la.at[:, :rows, 0].set(log_a.astype(jnp.float32))
-    lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
-    lb = lb.at[:, 0, :cols].set(log_b.astype(jnp.float32))
+    M_pad = M_pad.at[:, :rows, :cols].set((M / reg).astype(jnp.float32))
+    la, lb = _padded_marginals(log_a, log_b, rows, cols, rp, cp)
+    return _sinkhorn_from_padded(
+        la, lb, M_pad, rows, cols, num_iters, interpret, blocked
+    ).astype(M.dtype)
+
+
+def _sinkhorn_from_padded(
+    la, lb, M_pad, rows, cols, num_iters, interpret, blocked, r_blk: int = 256
+):
+    """Run the dispatch-selected kernel on an ALREADY padded/regularized
+    [B, rp, cp] matrix (callers that own the padding — the model's OT entry —
+    build it in one fused XLA pass from the raw scores instead of
+    materializing the augmented matrix, its masked copy, AND the padded copy).
+    Returns log_P [B, rows, cols] f32."""
+    batch, rp, cp = M_pad.shape
+    if blocked:
+        return _blocked_from_padded(
+            la, lb, M_pad, rows, cols, num_iters, interpret, r_blk
+        )
 
     kernel = functools.partial(_sinkhorn_kernel, num_iters=num_iters)
     u = pl.pallas_call(
@@ -181,13 +209,12 @@ def log_sinkhorn(
     # logsumexp needs column stabilization the row-stabilized in-kernel K
     # cannot represent for dead columns (see kernel docstring).
     u = u[:, :rows, :]
-    x = M32 + u  # [B, rows, cols]
+    x = M_pad[:, :rows, :cols] + u  # [B, rows, cols]
     cmax = jnp.max(x, axis=1, keepdims=True)
     v = lb[:, :, :cols] - (
         cmax + jnp.log(jnp.sum(jnp.exp(x - cmax), axis=1, keepdims=True))
     )
-    log_P = x + v
-    return log_P.astype(M.dtype)
+    return x + v
 
 
 def _blocked_scale_kernel(
@@ -266,7 +293,22 @@ def _log_sinkhorn_blocked(
     interpret: bool,
     r_blk: int = 256,
 ) -> jnp.ndarray:
-    """Blocked drop-in for log_sinkhorn for matrices beyond VMEM.
+    """Blocked drop-in for log_sinkhorn for matrices beyond VMEM."""
+    batch, rows, cols = M.shape
+    rp = _round_up(rows, r_blk)
+    cp = _round_up(cols, 128)
+    M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
+    M_pad = M_pad.at[:, :rows, :cols].set((M / reg).astype(jnp.float32))
+    la, lb = _padded_marginals(log_a, log_b, rows, cols, rp, cp)
+    return _blocked_from_padded(
+        la, lb, M_pad, rows, cols, num_iters, interpret, r_blk
+    ).astype(M.dtype)
+
+
+def _blocked_from_padded(
+    la, lb, M_pad, rows, cols, num_iters, interpret, r_blk: int = 256
+):
+    """Blocked runner on an already padded/regularized matrix.
 
     XLA pre-exponentiates K = exp(M − rmax) into HBM once (one fused pass);
     the kernel then streams pure-FMA scale-domain iterations over K (the
@@ -274,17 +316,7 @@ def _log_sinkhorn_blocked(
     iteration and ran ~2× the DMA roofline at N=2048); the final
     column-stabilized half-iteration and the log_P assembly are one more
     fused XLA pass over M — identical structure to the in-VMEM variant."""
-    batch, rows, cols = M.shape
-    rp = _round_up(rows, r_blk)
-    cp = _round_up(cols, 128)
-
-    M32 = (M / reg).astype(jnp.float32)
-    M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
-    M_pad = M_pad.at[:, :rows, :cols].set(M32)
-    la = jnp.full((batch, rp, 1), _NEG_INF, jnp.float32)
-    la = la.at[:, :rows, 0].set(log_a.astype(jnp.float32))
-    lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
-    lb = lb.at[:, 0, :cols].set(log_b.astype(jnp.float32))
+    batch, rp, cp = M_pad.shape
 
     # row-stabilized K; dead/padded rows are all-ones (rmax = M = -1e9), their
     # marginal a = 0 keeps them out of every column accumulation
@@ -321,12 +353,50 @@ def _log_sinkhorn_blocked(
     # u_T from the last row matvec, then the final column-stabilized
     # half-iteration + log_P assembly in one fused XLA pass over M
     u = (la - rmax - jnp.log(jnp.maximum(y, _TINY)))[:, :rows, :]
-    x = M32 + u
+    x = M_pad[:, :rows, :cols] + u
     cmax = jnp.max(x, axis=1, keepdims=True)
     v = lb[:, :, :cols] - (
         cmax + jnp.log(jnp.sum(jnp.exp(x - cmax), axis=1, keepdims=True))
     )
-    return (x + v).astype(M.dtype)
+    return x + v
+
+
+def build_padded_otp_matrix(
+    scores: jnp.ndarray,
+    dustbin_score,
+    reg: float,
+    mask0: Optional[jnp.ndarray],
+    mask1: Optional[jnp.ndarray],
+    rp: int,
+    cp: int,
+) -> jnp.ndarray:
+    """The dustbin-augmented, mask-invalidated, tile-padded, regularized OT
+    cost [B, rp, cp] built in ONE fused XLA pass from the raw scores.
+
+    Semantically identical to ops.sinkhorn.augment_scores + the pair_valid
+    masking + /reg + the -1e9 tile padding, but as a single iota-select
+    expression so XLA emits one read of S and one write of M_pad — the
+    separate augmented and masked-augmented intermediates (two more full
+    read+write passes over a [B, N+1, M+1] f32 matrix) never materialize.
+    (Masked/padded entries are exactly -1e9 here, where the old chain gave
+    -1e9/reg; both are "effectively -inf" to the row-stabilized kernels.)
+    """
+    batch, m, n = scores.shape
+    S_pad = jnp.pad(scores.astype(jnp.float32), ((0, 0), (0, rp - m), (0, cp - n)))
+    row_ids = jnp.arange(rp)[None, :, None]
+    col_ids = jnp.arange(cp)[None, None, :]
+    dust = jnp.asarray(dustbin_score, jnp.float32)
+    vals = jnp.where((row_ids == m) | (col_ids == n), dust, S_pad) / reg
+
+    valid_row = row_ids <= m  # real rows + the dustbin row; padding invalid
+    if mask0 is not None:
+        mask0_pad = jnp.pad(mask0, ((0, 0), (0, rp - m)))[:, :, None]
+        valid_row = valid_row & (mask0_pad | (row_ids == m))
+    valid_col = col_ids <= n
+    if mask1 is not None:
+        mask1_pad = jnp.pad(mask1, ((0, 0), (0, cp - n)))[:, None, :]
+        valid_col = valid_col & (mask1_pad | (col_ids == n))
+    return jnp.where(valid_row & valid_col, vals, _NEG_INF)
 
 
 def _sinkhorn_adjoint_factors_kernel(
@@ -461,9 +531,11 @@ def _sinkhorn_vjp_kernel_path(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
-    # rebuild M exactly as the forward did (shared marginal builder)
+    # rebuild M exactly as the forward did — in ONE fused pass (the
+    # augmented/masked intermediates never materialize; see
+    # build_padded_otp_matrix)
+    M_pad = build_padded_otp_matrix(scores, dustbin_score, reg, mask0, mask1, rp, cp)
     if mask0 is None and mask1 is None:
-        S_aug = sinkhorn_ref.augment_scores(scores, dustbin_score) / reg
         norm = -jnp.log(jnp.asarray(n + m, dtype=scores.dtype))
         log_a = jnp.full((m + 1,), norm).at[-1].add(jnp.log(jnp.asarray(n, scores.dtype)))
         log_b = jnp.full((n + 1,), norm).at[-1].add(jnp.log(jnp.asarray(m, scores.dtype)))
@@ -473,21 +545,15 @@ def _sinkhorn_vjp_kernel_path(
     else:
         mask0_ = mask0 if mask0 is not None else jnp.ones((batch, m), dtype=bool)
         mask1_ = mask1 if mask1 is not None else jnp.ones((batch, n), dtype=bool)
-        S_inner, S_dust, log_a_inner, log_a_dust, log_b, _ = (
+        _, _, log_a_inner, log_a_dust, log_b, _ = (
             sinkhorn_ref.build_masked_otp_inputs(scores, dustbin_score, reg, mask0_, mask1_)
         )
-        S_aug = jnp.concatenate([S_inner, S_dust], axis=1)
         log_a = jnp.concatenate([log_a_inner, log_a_dust[:, None]], axis=1)
         valid_row = jnp.concatenate([mask0_, jnp.ones((batch, 1), bool)], axis=1)
         valid_col = jnp.concatenate([mask1_, jnp.ones((batch, 1), bool)], axis=1)
         pair_valid = valid_row[:, :, None] & valid_col[:, None, :]
 
-    M_pad = jnp.full((batch, rp, cp), _NEG_INF, jnp.float32)
-    M_pad = M_pad.at[:, : m + 1, : n + 1].set(S_aug.astype(jnp.float32))
-    la = jnp.full((batch, rp, 1), _NEG_INF, jnp.float32)
-    la = la.at[:, : m + 1, 0].set(log_a.astype(jnp.float32))
-    lb = jnp.full((batch, 1, cp), _NEG_INF, jnp.float32)
-    lb = lb.at[:, 0, : n + 1].set(log_b.astype(jnp.float32))
+    la, lb = _padded_marginals(log_a, log_b, m + 1, n + 1, rp, cp)
     # Cotangents on masked entries are zeroed: every loss in this framework
     # reads only valid entries (the NLL touches matched + dustbin cells), and
     # the reference's gradient through masked -1e9 logits is garbage-magnitude
@@ -593,38 +659,43 @@ def log_optimal_transport(
 
 
 def _log_ot_forward_impl(scores, dustbin_score, num_iters, reg, mask0, mask1, interpret):
+    """Model-facing forward: builds the padded cost in ONE fused pass
+    (build_padded_otp_matrix) and runs the dispatch-selected kernel on it —
+    the augmented [B, N+1, M+1] matrix never materializes unpadded."""
     batch, m, n = scores.shape
-    S_aug = sinkhorn_ref.augment_scores(scores, dustbin_score)
+    rows, cols = m + 1, n + 1
+    rp, cp, blocked = _pad_granularity(rows, cols)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    M_pad = build_padded_otp_matrix(scores, dustbin_score, reg, mask0, mask1, rp, cp)
 
     if mask0 is None and mask1 is None:
-        norm = -jnp.log(jnp.asarray(n + m, dtype=scores.dtype))
-        log_a = jnp.full((m + 1,), norm, dtype=scores.dtype)
-        log_a = log_a.at[-1].add(jnp.log(jnp.asarray(n, dtype=scores.dtype)))
-        log_b = jnp.full((n + 1,), norm, dtype=scores.dtype)
-        log_b = log_b.at[-1].add(jnp.log(jnp.asarray(m, dtype=scores.dtype)))
-        log_a = jnp.broadcast_to(log_a, (batch, m + 1))
-        log_b = jnp.broadcast_to(log_b, (batch, n + 1))
-        log_P = log_sinkhorn(log_a, log_b, S_aug, num_iters, reg, interpret)
-        return log_P - norm
+        norm = -jnp.log(jnp.asarray(n + m, jnp.float32))
+        log_a = jnp.full((rows,), norm, jnp.float32)
+        log_a = log_a.at[-1].add(jnp.log(jnp.asarray(n, jnp.float32)))
+        log_b = jnp.full((cols,), norm, jnp.float32)
+        log_b = log_b.at[-1].add(jnp.log(jnp.asarray(m, jnp.float32)))
+        log_a = jnp.broadcast_to(log_a, (batch, rows))
+        log_b = jnp.broadcast_to(log_b, (batch, cols))
+        norm_bc = norm
+    else:
+        mask0_ = mask0 if mask0 is not None else jnp.ones((batch, m), dtype=bool)
+        mask1_ = mask1 if mask1 is not None else jnp.ones((batch, n), dtype=bool)
+        count0 = jnp.sum(mask0_, axis=1).astype(jnp.float32)
+        count1 = jnp.sum(mask1_, axis=1).astype(jnp.float32)
+        norm = -jnp.log(jnp.maximum(count0 + count1, 1.0))
 
-    if mask0 is None:
-        mask0 = jnp.ones((batch, m), dtype=bool)
-    if mask1 is None:
-        mask1 = jnp.ones((batch, n), dtype=bool)
-    count0 = jnp.sum(mask0, axis=1).astype(scores.dtype)
-    count1 = jnp.sum(mask1, axis=1).astype(scores.dtype)
-    total = jnp.maximum(count0 + count1, 1.0)
-    norm = -jnp.log(total)
+        valid_row = jnp.concatenate([mask0_, jnp.ones((batch, 1), dtype=bool)], axis=1)
+        valid_col = jnp.concatenate([mask1_, jnp.ones((batch, 1), dtype=bool)], axis=1)
+        log_a = jnp.where(valid_row, norm[:, None], _NEG_INF)
+        log_a = log_a.at[:, -1].set(norm + jnp.log(jnp.maximum(count1, 1.0)))
+        log_b = jnp.where(valid_col, norm[:, None], _NEG_INF)
+        log_b = log_b.at[:, -1].set(norm + jnp.log(jnp.maximum(count0, 1.0)))
+        norm_bc = norm[:, None, None]
 
-    valid_row = jnp.concatenate([mask0, jnp.ones((batch, 1), dtype=bool)], axis=1)
-    valid_col = jnp.concatenate([mask1, jnp.ones((batch, 1), dtype=bool)], axis=1)
-    pair_valid = valid_row[:, :, None] & valid_col[:, None, :]
-    S_aug = jnp.where(pair_valid, S_aug, _NEG_INF)
-
-    log_a = jnp.where(valid_row, norm[:, None], _NEG_INF)
-    log_a = log_a.at[:, -1].set(norm + jnp.log(jnp.maximum(count1, 1.0)))
-    log_b = jnp.where(valid_col, norm[:, None], _NEG_INF)
-    log_b = log_b.at[:, -1].set(norm + jnp.log(jnp.maximum(count0, 1.0)))
-
-    log_P = log_sinkhorn(log_a, log_b, S_aug, num_iters, reg, interpret)
-    return log_P - norm[:, None, None]
+    la, lb = _padded_marginals(log_a, log_b, rows, cols, rp, cp)
+    log_P = _sinkhorn_from_padded(
+        la, lb, M_pad, rows, cols, num_iters, interpret, blocked
+    )
+    return (log_P - norm_bc).astype(scores.dtype)
