@@ -269,6 +269,13 @@ def _forward_pallas(
         proj = jnp.zeros((8, dh), jnp.float32)  # unused placeholder
         num_features = dh
 
+    if block_q is None:
+        # 1024 measures +2.7% end-to-end at the headline B=16 (1,315 vs
+        # 1,281 pairs/s interleaved) but exceeds the 16 MB scoped-VMEM limit
+        # at B=32 (OOM by 664 KB, bench/layer_block_sweep.py) — Mosaic's
+        # allocator scopes more aggressively on longer grids. Adaptive:
+        # large blocks only at small batch.
+        block_q = 1024 if batch <= 16 else 512
     # keep the per-step [BQ, M] f32 score block under ~2 MB
     if m > 1024 and attention_kind == "softmax":
         block_q = min(block_q, 256)
@@ -450,7 +457,7 @@ def fused_attention_propagation(
     weights: PropagationWeights,
     num_heads: int,
     use_offset: bool = False,
-    block_q: int = 512,
+    block_q: Optional[int] = None,
     interpret: Optional[bool] = None,
     attention_kind: str = "softmax",
     projection: Optional[jnp.ndarray] = None,
