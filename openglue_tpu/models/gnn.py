@@ -214,10 +214,16 @@ class AttentionalPropagation(nn.Module):
 
         if not use_pallas_for_shape(desc_q.shape[1], desc_kv.shape[1]):
             return None
-        if self.attention in ("favor_relu", "favor_softmax") and desc_kv.shape[1] <= 1024:
-            # the F=2*dh feature maps make the fused FAVOR kernel lose to
-            # XLA's batched einsums below eval scale (0.96x at N=1024, 1.07x
-            # at N=2048 — BASELINE.md sweep); dispatch keeps it a never-lose
+        if self.attention == "favor_relu" and desc_kv.shape[1] <= 1024:
+            # the F=2*dh feature maps make the fused FAVOR-relu kernel lose
+            # to XLA's batched einsums below eval scale (0.96x at N=1024,
+            # 1.07x at N=2048 — BASELINE.md sweep)
+            return None
+        if self.attention == "favor_softmax":
+            # the exp-heavy estimator map is faster as XLA batched einsums at
+            # every measured size (0.71x fused at N=2048); the Pallas win for
+            # this variant comes from the Sinkhorn kernel (1.23x end to end
+            # at N=1024), which the composed path still uses
             return None
         variables = self.variables
         params = variables.get("params", {})
