@@ -105,6 +105,10 @@ def superglue_config_from(config: Config, descriptor_dim: int, side_info_dim: in
 
     sg = dict(config.get("superglue", {}))
     sg["descriptor_dim"] = descriptor_dim
+    # fused decode stats by default: free in training (nothing consumes them
+    # -> DCE'd from the train jit) and they keep validation/eval decodes off
+    # the full score matrix (config can still disable)
+    sg.setdefault("decode_stats", True)
     cfg = SuperGlueConfig.from_dict(sg)
     import dataclasses
 
