@@ -39,6 +39,11 @@ def main():
         "gradient norm is ~150x the 4-stage one; warmup walks it off the "
         "uniform-assignment saddle before full-size steps)",
     )
+    parser.add_argument(
+        "--attention", default="softmax",
+        choices=["softmax", "linear", "favor_relu", "favor_softmax"],
+        help="attention mechanism (the paper's accuracy-vs-speed study axis)",
+    )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument(
         "--chain-bf16", action="store_true",
@@ -61,6 +66,7 @@ def main():
     cfg = SuperGlueConfig(
         descriptor_dim=args.dim, pe_hidden_layers_sizes=pe_sizes,
         num_stages=args.stages, num_heads=4, otp_num_iters=args.otp_iters,
+        attention=args.attention,
         residual=True, dtype=jnp.bfloat16 if args.bf16 else None,
         chain_dtype=jnp.bfloat16 if args.chain_bf16 else None,
         use_pallas=args.pallas,
