@@ -191,7 +191,7 @@ def fused_attention_propagation_int8(
     weights: QuantPropagationWeights,
     num_heads: int,
     use_offset: bool = False,
-    block_q: int = 512,
+    block_q: Optional[int] = None,
     interpret: Optional[bool] = None,
     attn_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
@@ -204,8 +204,11 @@ def fused_attention_propagation_int8(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
+    if block_q is None:
+        # same adaptive policy as the bf16 layer kernel (gnn_layer_kernel)
+        block_q = 1024 if batch <= 16 else 512
     if m > 1024:
-        block_q = min(block_q, 256)
+        block_q = min(block_q, 512)
     block_q = min(block_q, _round_up(n, 128))
     n_pad = _round_up(n, block_q)
     m_pad = _round_up(m, 128)
