@@ -35,12 +35,14 @@ def main():
         help="jax.checkpoint each GNN layer (recompute in backward; frees "
         "activation HBM so larger batches fit)",
     )
+    parser.add_argument("--attention", default="softmax")
     args = parser.parse_args()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     cfg = SuperGlueConfig(
         descriptor_dim=256, pe_hidden_layers_sizes=(32, 64, 128), num_stages=9,
         num_heads=4, otp_num_iters=20, residual=True, dtype=dtype,
+        attention=args.attention,
         chain_dtype=jnp.bfloat16 if args.chain_bf16 else None,
         use_pallas=args.pallas, remat=args.remat,
     )
@@ -86,6 +88,7 @@ def main():
                     "kpts": args.kpts,
                     "dtype": "float32" if args.f32 else "bfloat16",
                     "chain_bf16": bool(args.chain_bf16),
+                    "attention": args.attention,
                     "remat": bool(args.remat),
                     "pallas": bool(args.pallas),
                     "ms_per_step": round(seconds * 1e3, 2),
