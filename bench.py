@@ -192,8 +192,18 @@ def main():
     signal.signal(signal.SIGTERM, on_signal)
     signal.signal(signal.SIGINT, on_signal)
 
-    best[0] = _child(args, "--xla-only", timeout_s=max(args.pallas_budget_s, 900))
-    pallas_result = _child(args, "--pallas", timeout_s=args.pallas_budget_s)
+    def child_with_retry(path_flag, timeout_s, tries=2):
+        # the axon remote-compile endpoint occasionally drops a request
+        # ("response body closed before all bytes were read"); one retry
+        # keeps a transient from zeroing the round artifact
+        for _ in range(tries):
+            result = _child(args, path_flag, timeout_s)
+            if result is not None:
+                return result
+        return None
+
+    best[0] = child_with_retry("--xla-only", timeout_s=max(args.pallas_budget_s, 900))
+    pallas_result = child_with_retry("--pallas", timeout_s=args.pallas_budget_s)
     if pallas_result is not None and (
         best[0] is None or pallas_result.get("value", 0) > best[0].get("value", 0)
     ):
