@@ -44,6 +44,11 @@ def main():
         choices=["softmax", "linear", "favor_relu", "favor_softmax"],
         help="attention mechanism (the paper's accuracy-vs-speed study axis)",
     )
+    parser.add_argument(
+        "--redraw-epochs", type=int, default=1,
+        help="re-sample FAVOR projections every N epochs (reference redraws "
+        "via a Lightning callback, lightning_callbacks.py:10-14); 0 = never",
+    )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument(
         "--chain-bf16", action="store_true",
@@ -114,8 +119,17 @@ def main():
             epi.update(k0, k1, m0, tf.K0, tf.K1, tf.R, tf.T)
         return {**auc.compute(), **epi.compute()}
 
+    from openglue_tpu.train.step import redraw_favor_projections
+
     t0 = time.time()
     for epoch in range(args.epochs):
+        if (
+            args.redraw_epochs
+            and args.attention.startswith("favor")
+            and epoch
+            and epoch % args.redraw_epochs == 0
+        ):
+            state = redraw_favor_projections(state, jax.random.key(777))
         state, losses = train_epoch(
             state, jax.random.fold_in(jax.random.key(42), epoch), args.steps_per_epoch
         )
