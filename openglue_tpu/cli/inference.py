@@ -80,6 +80,39 @@ class OpenGlueMatcher:
         self._match_jit = jax.jit(
             lambda v, kw: self.matcher.apply(v, **kw)
         )
+        self._compiled = None  # (shapes key, AOT executable) — see precompile
+
+    def precompile(self, num_keypoints: int) -> None:
+        """Ahead-of-time compile the matcher at the serving shape.
+
+        ``jit.lower(...).compile()`` takes seconds where the first jitted
+        DISPATCH can pay a much larger kernel-compilation cost (minutes over
+        a remote-compile TPU tunnel) — cold-start control for serving.
+        The compiled executable is used whenever the extracted keypoint count
+        matches; other shapes fall back to the jit path."""
+        import jax.numpy as jnp
+
+        k = num_keypoints
+        d = int(self.features_config["descriptor_dim"])
+        s = self.laf_converter.side_info_dim + 1
+        kw = dict(
+            kpts0=jnp.zeros((1, k, 2), jnp.float32),
+            kpts1=jnp.zeros((1, k, 2), jnp.float32),
+            desc0=jnp.zeros((1, k, d), jnp.float32),
+            desc1=jnp.zeros((1, k, d), jnp.float32),
+            side_info0=jnp.zeros((1, k, s), jnp.float32),
+            side_info1=jnp.zeros((1, k, s), jnp.float32),
+            image_size0=jnp.zeros((1, 2), jnp.float32),
+            image_size1=jnp.zeros((1, 2), jnp.float32),
+            mask0=jnp.zeros((1, k), bool),
+            mask1=jnp.zeros((1, k), bool),
+        )
+        import jax as _jax
+
+        executable = _jax.jit(lambda v, kw: self.matcher.apply(v, **kw)).lower(
+            self.variables, kw
+        ).compile()
+        self._compiled = (k, d, s, executable)
 
     def extract(self, image: np.ndarray):
         """grayscale uint8 [H, W] -> (lafs, scores, desc, mask) numpy."""
@@ -129,16 +162,22 @@ class OpenGlueMatcher:
             sides.append(side)
         s0, s1 = sides
 
-        out = self._match_jit(
-            self.variables,
-            dict(
-                kpts0=s0.keypoints, kpts1=s1.keypoints,
-                desc0=s0.descriptors, desc1=s1.descriptors,
-                side_info0=s0.side_info, side_info1=s1.side_info,
-                image_size0=s0.image_size, image_size1=s1.image_size,
-                mask0=s0.mask, mask1=s1.mask,
-            ),
+        kw = dict(
+            kpts0=s0.keypoints, kpts1=s1.keypoints,
+            desc0=s0.descriptors, desc1=s1.descriptors,
+            side_info0=s0.side_info, side_info1=s1.side_info,
+            image_size0=s0.image_size, image_size1=s1.image_size,
+            mask0=s0.mask, mask1=s1.mask,
         )
+        if (
+            self._compiled is not None
+            and self._compiled[:3]
+            == (s0.keypoints.shape[1], s0.descriptors.shape[2], s0.side_info.shape[2])
+            and s1.keypoints.shape[1] == s0.keypoints.shape[1]
+        ):
+            out = self._compiled[3](self.variables, kw)
+        else:
+            out = self._match_jit(self.variables, kw)
         decoded = decode_from_output(
             out, self.match_threshold, mask0=s0.mask, mask1=s1.mask
         )

@@ -249,6 +249,19 @@ class TestExtractAndInference:
         assert np.median(np.abs(dy)) < 3.0
         assert abs(np.median(dx) - 6.0) < 3.0
 
+        # AOT serving path: precompile at the extractor's keypoint count and
+        # verify the compiled executable reproduces the jit path exactly
+        base = run_inference(matcher, img_dir / "a.png", img_dir / "b.png", ransac=False)
+        matcher.precompile(num_keypoints=256)
+        assert matcher._compiled is not None
+        result_aot = run_inference(
+            matcher, img_dir / "a.png", img_dir / "b.png", ransac=False
+        )
+        np.testing.assert_array_equal(result_aot["indices0"], base["indices0"])
+        np.testing.assert_allclose(
+            result_aot["confidence"], base["confidence"], rtol=1e-6
+        )
+
 
 @pytest.mark.slow
 class TestInferenceFromOnlineExperiment:
