@@ -88,6 +88,11 @@ def loop_config_from(config: Config, log_dir: Optional[Path]):
         wandb_project=str(config.get("logging.wandb_project", "superglue")),
         wandb_run_name=log_dir.name if log_dir else None,
         config_snapshot=config.to_dict() if hasattr(config, "to_dict") else None,
+        # lr monitor (reference LearningRateMonitor): the deterministic
+        # per-step exponential schedule, evaluated host-side
+        lr_schedule=lambda step, _lr=float(train.get("lr", 1e-4)), _g=float(
+            train.get("scheduler_gamma", 0.999994)
+        ): _lr * _g**step,
     )
 
 

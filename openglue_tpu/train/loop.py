@@ -43,6 +43,10 @@ class TrainLoopConfig:
     pose_auc_thresholds: tuple = (5.0, 10.0, 20.0)
     ransac_thresh_px: float = 0.5
     seed: int = 0
+    # learning-rate monitor (reference LearningRateMonitor,
+    # utils/train_utils.py:41): the per-step schedule is deterministic, so
+    # the loop logs lr_schedule(step) host-side — no device sync
+    lr_schedule: Optional[Callable[[int], float]] = None
 
 
 def _is_main_host() -> bool:
@@ -219,6 +223,8 @@ def fit(
                 state, metrics = train_step(state, batch)
             if step_idx % config.log_every_n_steps == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
+                if config.lr_schedule is not None:
+                    host_metrics["lr"] = float(config.lr_schedule(step_idx))
                 logger.log({f"train/{k}": v for k, v in host_metrics.items()}, step_idx)
                 if _is_main_host():
                     print(
