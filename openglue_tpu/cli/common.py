@@ -61,8 +61,9 @@ def loss_config_from(config: Config):
     )
 
 
-def loop_config_from(config: Config, log_dir: Optional[Path]):
+def loop_config_from(config: Config, log_dir: Optional[Path], lr_schedule=None):
     from openglue_tpu.train.loop import TrainLoopConfig
+    from openglue_tpu.train.state import make_lr_schedule
 
     train = config.get("train", {})
     ev = config.get("evaluation", {}) or {}
@@ -88,11 +89,17 @@ def loop_config_from(config: Config, log_dir: Optional[Path]):
         wandb_project=str(config.get("logging.wandb_project", "superglue")),
         wandb_run_name=log_dir.name if log_dir else None,
         config_snapshot=config.to_dict() if hasattr(config, "to_dict") else None,
-        # lr monitor (reference LearningRateMonitor): the deterministic
-        # per-step exponential schedule, evaluated host-side
-        lr_schedule=lambda step, _lr=float(train.get("lr", 1e-4)), _g=float(
-            train.get("scheduler_gamma", 0.999994)
-        ): _lr * _g**step,
+        # lr monitor (reference LearningRateMonitor): the SAME optax schedule
+        # object the optimizer builders use (train.state.make_lr_schedule),
+        # evaluated host-side at state.step — so warmup, decay, and resume all
+        # log the lr the optimizer actually applies. CLIs that build a custom
+        # tx pass its schedule via ``lr_schedule``.
+        lr_schedule=lr_schedule
+        or make_lr_schedule(
+            learning_rate=float(train.get("lr", 1e-4)),
+            gamma=float(train.get("scheduler_gamma", 0.999994)),
+            warmup_steps=int(train.get("warmup_steps", 0)),
+        ),
     )
 
 

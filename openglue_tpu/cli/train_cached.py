@@ -139,12 +139,24 @@ def main(argv=None):
     init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b)))
     variables = init(jax.random.key(0), first)
     jax.block_until_ready(variables)
+    warmup_steps = int(config.get("train.warmup_steps", 0))
+    tx = None
+    if warmup_steps > 0:
+        from openglue_tpu.train.state import make_warmup_optimizer
+
+        tx = make_warmup_optimizer(
+            learning_rate=float(config.get("train.lr", 1e-4)),
+            warmup_steps=warmup_steps,
+            gamma=float(config.get("train.scheduler_gamma", 0.999994)),
+            gradient_clip=float(config.get("train.grad_clip", 10.0)),
+        )
     state = create_train_state(
         model.apply,
         variables,
         learning_rate=float(config.get("train.lr", 1e-4)),
         gamma=float(config.get("train.scheduler_gamma", 0.999994)),
         gradient_clip=float(config.get("train.grad_clip", 10.0)),
+        tx=tx,
     )
     if args.checkpoint:
         state = restore_train_state(args.checkpoint, state)

@@ -58,7 +58,10 @@ def nms_keypoints_scipy(
     from scipy.spatial import cKDTree
 
     tree = cKDTree(kpts)
-    order = np.argsort(-responses)
+    # Stable sort with index tiebreak so tie handling matches the native
+    # kernel exactly (detectors with quantized responses tie frequently;
+    # hosts with and without a C++ toolchain must produce identical masks).
+    order = np.argsort(-responses, kind="stable")
     removed = np.zeros(len(kpts), dtype=bool)
     keep = np.zeros(len(kpts), dtype=bool)
     for idx in order:

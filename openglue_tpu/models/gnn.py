@@ -209,22 +209,23 @@ class AttentionalPropagation(nn.Module):
             or self.is_initializing()
         ):
             return None
-        from openglue_tpu.ops.pallas import use_pallas_for_shape
+        from openglue_tpu.ops.pallas import fused_dispatch_forced, use_pallas_for_shape
         from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
 
         if not use_pallas_for_shape(desc_q.shape[1], desc_kv.shape[1]):
             return None
-        if self.attention == "favor_relu" and desc_kv.shape[1] <= 1024:
-            # the F=2*dh feature maps make the fused FAVOR-relu kernel lose
-            # to XLA's batched einsums below eval scale (0.96x at N=1024,
-            # 1.07x at N=2048 — BASELINE.md sweep)
-            return None
-        if self.attention == "favor_softmax":
-            # the exp-heavy estimator map is faster as XLA batched einsums at
-            # every measured size (0.71x fused at N=2048); the Pallas win for
-            # this variant comes from the Sinkhorn kernel (1.23x end to end
-            # at N=1024), which the composed path still uses
-            return None
+        if not fused_dispatch_forced():
+            if self.attention == "favor_relu" and desc_kv.shape[1] <= 1024:
+                # the F=2*dh feature maps make the fused FAVOR-relu kernel
+                # lose to XLA's batched einsums below eval scale (0.96x at
+                # N=1024, 1.07x at N=2048 — BASELINE.md sweep)
+                return None
+            if self.attention == "favor_softmax":
+                # the exp-heavy estimator map is faster as XLA batched einsums
+                # at every measured size (0.71x fused at N=2048); the Pallas
+                # win for this variant comes from the Sinkhorn kernel (1.23x
+                # end to end at N=1024), which the composed path still uses
+                return None
         variables = self.variables
         params = variables.get("params", {})
         if "mha" not in params or "ffn" not in params:

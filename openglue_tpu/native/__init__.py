@@ -112,5 +112,8 @@ def nms_keypoints_native(
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     if ret < 0:
-        raise RuntimeError("og_nms_radius failed")
+        # Degenerate grid (tiny radius over a huge extent, non-finite
+        # coordinates) or allocation failure — report "unavailable" so the
+        # caller takes the scipy path instead of aborting.
+        return None
     return keep.astype(bool)

@@ -232,6 +232,17 @@ def _blocked_scale_kernel(
     column-stabilized half-iteration over the original M, as the in-VMEM
     kernel does — see log_sinkhorn).
 
+    f32 dynamic-range assumption: K is ROW-stabilized only, so entries more
+    than ~88 nats below their row max flush to zero and the column
+    accumulation r is unstabilized — a valid column whose every entry
+    underflows hits the _TINY clamp mid-loop. The exact column-stabilized XLA
+    final half-iteration restores reference semantics for log_P: parity vs
+    the log-domain reference is ≤1e-4 even at a ±60σ score spread (~500-nat
+    dynamic range, tests/test_pallas_kernels.py::
+    test_blocked_sinkhorn_extreme_dynamic_range); model score spreads are
+    ≲40 nats. Potentials of FULLY-underflowed columns are clamp-valued
+    mid-loop but enter log_P only through the exact final pass.
+
     Grid step = one batch element. k_hbm: [B, Rp, Cp] in ANY (K, dead rows
     all-ones); log_a [1, Rp, 1]; log_b [1, 1, Cp]. Output: y [1, Rp, 1], the
     LAST iteration's row matvec K v̂_{T−1} (u recovery). v_hat_ref: VMEM

@@ -51,6 +51,29 @@ class MatcherTrainState(struct.PyTreeNode):
         return {"params": self.params, **self.model_state}
 
 
+def make_lr_schedule(
+    learning_rate: float = 1e-4,
+    gamma: float = 0.999994,
+    warmup_steps: int = 0,
+) -> optax.Schedule:
+    """The single source of truth for the learning-rate schedule.
+
+    Both the optimizer builders below and the train loop's lr monitor
+    (TrainLoopConfig.lr_schedule) consume this, so the logged train/lr is the
+    value the optimizer actually applies — including during warmup and after
+    resume (the loop evaluates it at state.step, which equals the optax update
+    count because apply_gradients advances both together)."""
+    decay = optax.exponential_decay(
+        init_value=learning_rate, transition_steps=1, decay_rate=gamma, staircase=True
+    )
+    if warmup_steps <= 0:
+        return decay
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, learning_rate, warmup_steps), decay],
+        boundaries=[warmup_steps],
+    )
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     gamma: float = 0.999994,
@@ -58,9 +81,7 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """Adam + per-step exponential decay + grad clipping
     (reference matching_module.py:133-147, train.py:75, config/config.yaml:22,29-30)."""
-    schedule = optax.exponential_decay(
-        init_value=learning_rate, transition_steps=1, decay_rate=gamma, staircase=True
-    )
+    schedule = make_lr_schedule(learning_rate, gamma)
     transforms = []
     if gradient_clip is not None:
         transforms.append(optax.clip_by_global_norm(gradient_clip))
@@ -81,16 +102,7 @@ def make_warmup_optimizer(
     4-stage one (residual FFN updates compound over 18 layers), and cold-start
     full-size Adam steps leave the matcher oscillating around the
     uniform-assignment saddle (loss pinned at log(N+1)) before diverging."""
-    schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, learning_rate, warmup_steps),
-            optax.exponential_decay(
-                init_value=learning_rate, transition_steps=1,
-                decay_rate=gamma, staircase=True,
-            ),
-        ],
-        boundaries=[warmup_steps],
-    )
+    schedule = make_lr_schedule(learning_rate, gamma, warmup_steps)
     transforms = []
     if gradient_clip is not None:
         transforms.append(optax.clip_by_global_norm(gradient_clip))

@@ -29,7 +29,7 @@ def _distinct_responses(rng, n):
     (500, 300.0, 4.5),
     (5000, 960.0, 4.5),
     (5000, 50.0, 9.0),      # heavy suppression: dense cluster
-    (2000, 10000.0, 0.7),   # sparse: almost nothing suppressed
+    (2000, 6000.0, 0.8),    # sparse: almost nothing suppressed
 ])
 def test_mask_parity_vs_scipy(n, extent, radius):
     rng = np.random.default_rng(n)
@@ -37,6 +37,35 @@ def test_mask_parity_vs_scipy(n, extent, radius):
     resp = _distinct_responses(rng, n)
     keep_native = native.nms_keypoints_native(kpts, resp, radius)
     keep_scipy = nms_keypoints_scipy(kpts, resp, radius)
+    np.testing.assert_array_equal(keep_native, keep_scipy)
+
+
+def test_huge_extent_tiny_radius_is_bounded():
+    # A tiny radius over a huge coordinate extent used to allocate
+    # O((extent/radius)^2) grid cells (gigabytes, int32 overflow). The cell
+    # size is now clamped to extent/4096, so this runs in bounded memory and
+    # still matches the scipy oracle exactly.
+    rng = np.random.default_rng(11)
+    kpts = (rng.random((2000, 2)) * 1e7).astype(np.float32)
+    resp = _distinct_responses(rng, 2000)
+    keep_native = native.nms_keypoints_native(kpts, resp, 0.5)
+    assert keep_native is not None
+    np.testing.assert_array_equal(keep_native, nms_keypoints_scipy(kpts, resp, 0.5))
+    # non-finite coordinates: native reports unavailable, dispatch falls back
+    bad = kpts.copy()
+    bad[0, 0] = np.nan
+    assert native.nms_keypoints_native(bad, resp, 0.5) is None
+
+
+def test_tie_handling_matches_scipy():
+    # quantized responses (ORB/FAST-style) tie constantly; the native kernel
+    # and the scipy fallback must break ties identically (stable, by index)
+    # so cached features are host-toolchain-independent.
+    rng = np.random.default_rng(13)
+    kpts = (rng.random((3000, 2)) * 500.0).astype(np.float32)
+    resp = rng.integers(0, 8, size=3000).astype(np.float32)  # heavy ties
+    keep_native = native.nms_keypoints_native(kpts, resp, 4.5)
+    keep_scipy = nms_keypoints_scipy(kpts, resp, 4.5)
     np.testing.assert_array_equal(keep_native, keep_scipy)
 
 
@@ -63,11 +92,20 @@ def test_edge_cases():
         np.array([[3.0, 7.0]], np.float32), np.array([0.5], np.float32), 4.5
     )
     assert one.tolist() == [True]
-    # radius 0: keep everything
+    # radius 0: distinct coordinates all survive, but coincident duplicates
+    # are suppressed (scipy query_ball_point(r=0) semantics)
     rng = np.random.default_rng(1)
     kpts = (rng.random((64, 2)) * 10).astype(np.float32)
-    keep = native.nms_keypoints_native(kpts, _distinct_responses(rng, 64), 0.0)
+    resp = _distinct_responses(rng, 64)
+    keep = native.nms_keypoints_native(kpts, resp, 0.0)
     assert keep.all()
+    dup_kpts = np.concatenate([kpts, kpts[:8]], axis=0)
+    dup_resp = _distinct_responses(rng, 72)
+    keep_dup = native.nms_keypoints_native(dup_kpts, dup_resp, 0.0)
+    assert keep_dup.sum() == 64
+    np.testing.assert_array_equal(
+        keep_dup, nms_keypoints_scipy(dup_kpts, dup_resp, 0.0)
+    )
 
 
 def test_dispatch_uses_native():

@@ -153,6 +153,37 @@ class TestSinkhornKernel:
             atol=1e-5,
         )
 
+    def test_blocked_sinkhorn_extreme_dynamic_range(self):
+        """Public log_optimal_transport dispatch at a genuinely >VMEM shape
+        with adversarial score dynamic range (scores x30, reg < 1: ~500-nat
+        spread after /reg). Pins down the domain where the row-stabilized
+        scale-domain streaming kernel is trusted: K entries >88 nats below
+        their row max flush to zero in f32 and the column accumulation is
+        unstabilized, but the exact column-stabilized XLA final
+        half-iteration restores reference log_P (see the
+        _blocked_scale_kernel docstring's dynamic-range note)."""
+        import numpy as _np
+
+        rng = _np.random.default_rng(0)
+        m, n = 1400, 1350  # beyond fits_vmem -> blocked streaming kernel
+        assert not sinkhorn_kernel.fits_vmem(m + 1, n + 1)
+        scores = jnp.asarray(rng.standard_normal((1, m, n)), jnp.float32) * 30.0
+        mask0 = jnp.asarray(rng.random((1, m)) > 0.1)
+        mask1 = jnp.asarray(rng.random((1, n)) > 0.1)
+        dustbin = jnp.float32(1.0)
+        out_k = sinkhorn_kernel.log_optimal_transport(
+            scores, dustbin, num_iters=20, reg=0.5, mask0=mask0, mask1=mask1
+        )
+        out_r = sink_ref.log_optimal_transport(
+            scores, dustbin, num_iters=20, reg=0.5, mask0=mask0, mask1=mask1
+        )
+        pv = mask0[:, :, None] & mask1[:, None, :]
+        np.testing.assert_allclose(
+            np.asarray(out_k[:, :m, :n][pv]),
+            np.asarray(out_r[:, :m, :n][pv]),
+            atol=1e-3,
+        )
+
 
 class TestPallasModelPath:
     def test_superglue_forward_use_pallas_matches_xla(self):
@@ -691,21 +722,37 @@ class TestFusedFAVORLayer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
     @pytest.mark.parametrize("kind", ["favor_relu", "favor_softmax"])
-    def test_module_fused_matches_composed(self, kind):
+    def test_module_fused_matches_composed(self, kind, monkeypatch):
         from openglue_tpu.models.gnn import AttentionalPropagation
+        from openglue_tpu.ops.pallas import force_fused_dispatch
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
 
-        # n above the FAVOR dispatch gate (fused kernel only beyond N=1024)
-        # so the module -> kernel wiring (projection extraction) is exercised
-        dim, heads, n = 64, 4, 1152
+        # force_fused_dispatch bypasses the measured dispatch gates (fused
+        # FAVOR-relu only engages above N=1024, FAVOR-softmax routes to the
+        # composed path at every size) so the module -> kernel wiring
+        # (projection extraction, weight folding) is GENUINELY exercised for
+        # both variants rather than silently comparing composed vs composed.
+        dim, heads, n = 64, 4, 640
         x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
-        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([900, n])[:, None]
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([500, n])[:, None]
         q_mask = jnp.ones((2, n), bool)
         mod = AttentionalPropagation(embed_dim=dim, num_heads=heads, attention=kind)
         variables = mod.init(jax.random.key(0), x_q, x_kv, q_mask, kv_mask)
         ref = mod.apply(variables, x_q, x_kv, q_mask, kv_mask)
-        out = AttentionalPropagation(
-            embed_dim=dim, num_heads=heads, attention=kind, use_pallas=True
-        ).apply(variables, x_q, x_kv, q_mask, kv_mask)
+        calls = []
+        real_fused = glk.fused_attention_propagation
+        monkeypatch.setattr(
+            glk, "fused_attention_propagation",
+            lambda *a, **k: calls.append(k.get("attention_kind")) or real_fused(*a, **k),
+        )
+        force_fused_dispatch(True)
+        try:
+            out = AttentionalPropagation(
+                embed_dim=dim, num_heads=heads, attention=kind, use_pallas=True
+            ).apply(variables, x_q, x_kv, q_mask, kv_mask)
+        finally:
+            force_fused_dispatch(False)
+        assert calls == [kind], "fused kernel path was not taken"
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
