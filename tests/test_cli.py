@@ -324,6 +324,110 @@ class TestInferenceFromOnlineExperiment:
 
 
 @pytest.mark.slow
+class TestExtractorPresetConfigs:
+    """The shipped preset YAMLs (configs/features*/) must stay 1:1 with the
+    reference's config/features/ + config/features_online/ inventories
+    (reference config/features/superpoint_coco.yaml:1 etc.), and each must
+    actually launch: cached presets through the extract_features CLI,
+    online presets through the homography-pretraining CLI (random init where
+    the reference points at unavailable pretrained checkpoints)."""
+
+    import pathlib
+
+    CONFIGS = pathlib.Path(__file__).resolve().parent.parent / "configs"
+
+    def test_inventory_matches_reference(self):
+        import pathlib
+
+        ref = pathlib.Path("/root/reference/config")
+        if not ref.exists():
+            pytest.skip("reference snapshot unavailable")
+        for sub in ("features", "features_online"):
+            theirs = {p.name for p in (ref / sub).glob("*.yaml")}
+            ours = {p.name for p in (self.CONFIGS / sub).glob("*.yaml")}
+            missing = theirs - ours
+            assert not missing, f"configs/{sub} missing reference presets: {missing}"
+
+    @staticmethod
+    def _structured_images(tmp_path, n=2, size=(320, 240)):
+        import cv2
+
+        rng = np.random.default_rng(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir(exist_ok=True)
+        base = np.zeros((size[1], size[0]), np.uint8)
+        for _ in range(80):
+            x, y = rng.integers(10, size[0] - 10), rng.integers(10, size[1] - 10)
+            cv2.circle(base, (int(x), int(y)), int(rng.integers(3, 9)), int(rng.integers(60, 255)), -1)
+        for i in range(n):
+            cv2.imwrite(str(img_dir / f"{i}.png"), np.roll(base, 5 * i, axis=1))
+        return img_dir
+
+    @pytest.mark.parametrize(
+        "preset",
+        ["superpoint_coco", "superpoint_kitti", "superpoint_magicleap",
+         "dog_opencv_affnet_hardnet", "sift_opencv"],
+    )
+    def test_cached_preset_launches(self, tmp_path, preset):
+        cfg = yaml.safe_load((self.CONFIGS / "features" / f"{preset}.yaml").read_text())
+        cfg["parameters"]["max_keypoints"] = 128  # CPU-speed shrink only
+        cfg_path = tmp_path / f"{preset}.yaml"
+        write_yaml(cfg_path, cfg)
+        img_dir = self._structured_images(tmp_path)
+
+        from openglue_tpu.cli import extract_features
+
+        extract_features.main([
+            "--features_config", str(cfg_path),
+            "--data_dir", str(img_dir),
+            "--output_dir", str(tmp_path / "cache"),
+            "--target_size", "320", "240",
+        ])
+        out = tmp_path / "cache" / f"{cfg['name']}_320_240"
+        assert (out / "config.yaml").exists()
+        for sfx in ("_lafs.h5", "_scores.h5", "_descriptors.h5", "_size.h5"):
+            assert (out / f"0{sfx}").exists()
+
+    @pytest.mark.parametrize(
+        "preset",
+        ["superpoint_coco", "superpoint_kitti", "superpoint_magicleap",
+         "gftt_affnet_hardnet", "sift"],
+    )
+    def test_online_preset_launches(self, tmp_path, preset):
+        features = yaml.safe_load(
+            (self.CONFIGS / "features_online" / f"{preset}.yaml").read_text()
+        )
+        features["parameters"]["max_keypoints"] = 32  # CPU-speed shrink only
+        img_dir = self._structured_images(tmp_path, n=3, size=(160, 128))
+        config = {
+            "data": {
+                # batch divisible by the 8-device virtual data mesh
+                "root_path": str(img_dir), "batch_size": 8, "dataloader_workers": 0,
+                "target_size": [160, 128], "warp_offset": 12,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "p", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 1, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 3,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+                "augmentations": {"name": "none"}, "evaluation": False,
+                "finetune_features_extractor": False,
+            },
+            "features": features,
+            "superglue": SMALL_SUPERGLUE,
+            "inference": {"match_threshold": 0.2},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, config)
+
+        from openglue_tpu.cli import pretrain_homography
+
+        state = pretrain_homography.main(["--config", str(cfg_path)])
+        assert int(state.step) == 1
+
+
+@pytest.mark.slow
 class TestBucketedPaddingCLI:
     """data.buckets wires bucketed padding (data/bucketing.py) through the
     cached-training CLI: each batch pads to the smallest bucket that fits its
