@@ -177,16 +177,18 @@ class AttentionalPropagation(nn.Module):
         fused = self._fused_layer(desc_q, desc_kv, kv_mask, train)
         if fused is not None:
             return fused
-        message = MultiheadAttention(
-            self.embed_dim,
-            self.num_heads,
-            self.attention,
-            self.favor_num_features,
-            self.dtype,
-            self.use_pallas,
-            self.ring_axis,
-            name="mha",
-        )(desc_q, desc_kv, kv_mask)
+        message = self._fused_message(desc_q, desc_kv, kv_mask, train)
+        if message is None:
+            message = MultiheadAttention(
+                self.embed_dim,
+                self.num_heads,
+                self.attention,
+                self.favor_num_features,
+                self.dtype,
+                self.use_pallas,
+                self.ring_axis,
+                name="mha",
+            )(desc_q, desc_kv, kv_mask)
         if self.use_offset:
             message = jnp.concatenate([desc_q - message, message], axis=-1)
         else:
@@ -195,6 +197,46 @@ class AttentionalPropagation(nn.Module):
             (2 * self.embed_dim, self.embed_dim), dtype=self.dtype, name="ffn"
         )(message, mask=q_mask, train=train)
         return desc_q + update
+
+    def _fused_message(self, desc_q, desc_kv, kv_mask, train):
+        """TRAIN-mode fused attention half (ops/pallas/gnn_layer_kernel.py
+        fused_attention_message): q/k/v/out projections + masked softmax
+        attention in one kernel with a FUSED BACKWARD kernel. The FFN half
+        (with its batch-statistics BatchNorm) stays in XLA where autodiff
+        handles the cross-batch reductions. Returns None when not routed
+        (eval mode uses the whole-layer kernel instead)."""
+        if (
+            self.attention != "softmax"
+            or not self.use_pallas
+            or self.ring_axis is not None
+            or not train
+            or self.is_initializing()
+        ):
+            return None
+        import os
+
+        if os.environ.get("OPENGLUE_NO_FUSED_MESSAGE"):
+            # bench/debug escape: route the train path through the composed
+            # MHA (read at trace time; for A/B measurement subprocesses)
+            return None
+        from openglue_tpu.ops.pallas import use_pallas_for_shape
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        if not use_pallas_for_shape(desc_q.shape[1], desc_kv.shape[1]):
+            return None
+        params = self.variables.get("params", {})
+        if "mha" not in params:
+            return None
+        weights = glk.extract_message_weights(params["mha"])
+        compute_dtype = self.dtype or desc_q.dtype
+        return glk.fused_attention_message(
+            desc_q.astype(compute_dtype),
+            desc_kv.astype(compute_dtype),
+            kv_mask,
+            weights,
+            num_heads=self.num_heads,
+            compute_dtype=compute_dtype,
+        )
 
     def _fused_layer(self, desc_q, desc_kv, kv_mask, train):
         """Whole-layer Pallas kernel (ops/pallas/gnn_layer_kernel.py):

@@ -452,6 +452,450 @@ def xla_reference_layer(
     return (x_q.astype(jnp.float32) + upd).astype(x_q.dtype)
 
 
+class MessageWeights(NamedTuple):
+    """The attention half of a propagation layer: q/k/v/out projections.
+    Kernels are flax layout [in, out]; biases [1, out]. Kept in the PARAM
+    dtype (f32) — the kernels cast operands to the compute dtype internally
+    so weight cotangents come back in full precision."""
+
+    wq: jnp.ndarray
+    bq: jnp.ndarray
+    wk: jnp.ndarray
+    bk: jnp.ndarray
+    wv: jnp.ndarray
+    bv: jnp.ndarray
+    wo: jnp.ndarray
+    bo: jnp.ndarray
+
+
+def extract_message_weights(mha_params: dict) -> MessageWeights:
+    """MessageWeights from an MHA param subtree ({'q_proj', 'k_proj',
+    'v_proj', 'out_proj'}), in the original param dtype."""
+
+    def dense(p):
+        return p["kernel"], p["bias"].astype(jnp.float32).reshape(1, -1)
+
+    wq, bq = dense(mha_params["q_proj"])
+    wk, bk = dense(mha_params["k_proj"])
+    wv, bv = dense(mha_params["v_proj"])
+    wo, bo = dense(mha_params["out_proj"])
+    return MessageWeights(wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _message_kernel(
+    x_q_ref, x_kv_ref, mask_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    out_ref,
+    k_scratch, v_scratch,
+    *, num_heads: int, scale: float, compute_dtype,
+):
+    """Attention-half forward: q/k/v projections + masked softmax attention +
+    out projection, one query block per grid step (the first two thirds of
+    _layer_kernel — the training path keeps the FFN/BatchNorm half in XLA
+    because train-mode BN needs cross-grid batch statistics)."""
+    i = pl.program_id(1)
+    dim = wq_ref.shape[0]
+    dh = dim // num_heads
+    mask_add = (1.0 - mask_ref[0]) * _NEG_INF  # [1, M]
+
+    @pl.when(i == 0)
+    def _project_kv():
+        kv = x_kv_ref[0].astype(compute_dtype)
+        k_scratch[...] = (
+            _dot(kv, wk_ref[...].astype(compute_dtype)) + bk_ref[...]
+        ).astype(k_scratch.dtype)
+        v_scratch[...] = (
+            _dot(kv, wv_ref[...].astype(compute_dtype)) + bv_ref[...]
+        ).astype(v_scratch.dtype)
+
+    xq = x_q_ref[0].astype(compute_dtype)
+    q = (_dot(xq, wq_ref[...].astype(compute_dtype)) + bq_ref[...]).astype(
+        compute_dtype
+    )
+
+    head_outs = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        logits = jax.lax.dot_general(
+            q[:, sl], k_scratch[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + mask_add  # [BQ, M]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = _dot(p.astype(compute_dtype), v_scratch[:, sl])  # [BQ, dh] f32
+        head_outs.append(o / denom)
+    attn = jnp.concatenate(head_outs, axis=1).astype(compute_dtype)
+    msg = _dot(attn, wo_ref[...].astype(compute_dtype)) + bo_ref[...]
+    out_ref[0] = msg.astype(out_ref.dtype)
+
+
+def _message_bwd_kernel(
+    x_q_ref, x_kv_ref, mask_ref, g_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    dxq_ref, dxkv_ref,
+    dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref,
+    k_scratch, v_scratch, dk_acc, dv_acc,
+    *, num_heads: int, scale: float, compute_dtype, n_blocks: int,
+):
+    """Fused backward of the attention half. Per (batch, query block):
+    recompute q/k/v and the softmax probabilities in VMEM (nothing [N, M]
+    ever touches HBM), then
+        dattn = g wo';   dwo += attn' g
+        per head: dv += P' dattn;  dP = dattn v';  dS = P(dP - rowsum(dP P));
+                  dq = dS k scale; dk += dS' q scale
+        dx_q = dq wq';   dwq += x_q' dq
+    dk/dv accumulate across query blocks in VMEM scratch; the key-side
+    products (dx_kv = dk wk' + dv wv', dwk = x_kv' dk, ...) run once at the
+    last block of each batch element. Weight grads accumulate across the
+    whole grid into constant-index f32 outputs (TPU grids are sequential)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dim = wq_ref.shape[0]
+    dh = dim // num_heads
+    mask_add = (1.0 - mask_ref[0]) * _NEG_INF  # [1, M]
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _zero_weight_grads():
+        for ref in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                    dwo_ref, dbo_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    @pl.when(i == 0)
+    def _project_kv():
+        kv = x_kv_ref[0].astype(compute_dtype)
+        k_scratch[...] = (
+            _dot(kv, wk_ref[...].astype(compute_dtype)) + bk_ref[...]
+        ).astype(k_scratch.dtype)
+        v_scratch[...] = (
+            _dot(kv, wv_ref[...].astype(compute_dtype)) + bv_ref[...]
+        ).astype(v_scratch.dtype)
+        dk_acc[...] = jnp.zeros(dk_acc.shape, dk_acc.dtype)
+        dv_acc[...] = jnp.zeros(dv_acc.shape, dv_acc.dtype)
+
+    xq = x_q_ref[0].astype(compute_dtype)
+    q = (_dot(xq, wq_ref[...].astype(compute_dtype)) + bq_ref[...]).astype(
+        compute_dtype
+    )
+    g = g_ref[0].astype(jnp.float32)  # [BQ, D] cotangent of msg
+    gc = g.astype(compute_dtype)
+
+    # dattn = g @ wo^T; also dbo += colsum(g)
+    dattn = jax.lax.dot_general(
+        gc, wo_ref[...].astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, D] f32
+    dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+
+    dq_cols = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        kh = k_scratch[:, sl]
+        vh = v_scratch[:, sl]
+        logits = jax.lax.dot_general(
+            q[:, sl], kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + mask_add  # [BQ, M]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        p = p / denom  # [BQ, M] f32
+        pc = p.astype(compute_dtype)
+
+        # attn_h for dwo rows: dwo[sl, :] += attn_h^T @ g (p is normalized
+        # here, unlike the forward kernel's post-aggregation divide)
+        attn_h = _dot(pc, vh).astype(compute_dtype)  # [BQ, dh]
+        dwo_ref[sl, :] += jax.lax.dot_general(
+            attn_h, gc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        dah = dattn[:, sl].astype(compute_dtype)
+        dv_acc[:, sl] += jax.lax.dot_general(
+            pc, dah,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            dah, vh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, M]
+        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))  # [BQ, M] f32
+        dsc = ds.astype(compute_dtype)
+        dq_cols.append(
+            jnp.dot(dsc, kh, preferred_element_type=jnp.float32) * scale
+        )  # [BQ, dh]
+        dk_acc[:, sl] += (
+            jax.lax.dot_general(
+                dsc, q[:, sl],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+
+    dq = jnp.concatenate(dq_cols, axis=1)  # [BQ, D] f32
+    dqc = dq.astype(compute_dtype)
+    dxq_ref[0] = jax.lax.dot_general(
+        dqc, wq_ref[...].astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dxq_ref.dtype)
+    dwq_ref[...] += jax.lax.dot_general(
+        xq, dqc,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+
+    @pl.when(i == n_blocks - 1)
+    def _key_side():
+        kv = x_kv_ref[0].astype(compute_dtype)
+        dkc = dk_acc[...].astype(compute_dtype)
+        dvc = dv_acc[...].astype(compute_dtype)
+        dxkv = jax.lax.dot_general(
+            dkc, wk_ref[...].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            dvc, wv_ref[...].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxkv_ref[0] = dxkv.astype(dxkv_ref.dtype)
+        dwk_ref[...] += jax.lax.dot_general(
+            kv, dkc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbk_ref[...] += jnp.sum(dk_acc[...], axis=0, keepdims=True)
+        dwv_ref[...] += jax.lax.dot_general(
+            kv, dvc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbv_ref[...] += jnp.sum(dv_acc[...], axis=0, keepdims=True)
+
+
+def _message_shapes(n: int, m: int, block_q: Optional[int]):
+    if block_q is None:
+        # the backward holds two [BQ, M] f32 intermediates (p and dp) next to
+        # the K/V + dK/dV scratch; 512 fits at M <= 1024, halve beyond
+        block_q = 512 if m <= 1024 else 256
+    block_q = min(block_q, _round_up(n, 128))
+    return block_q, _round_up(n, block_q), _round_up(m, 128)
+
+
+def _message_forward(x_q, x_kv, maskf, w: MessageWeights, num_heads, block_q, interpret, compute_dtype=None):
+    batch, n, dim = x_q.shape
+    m = x_kv.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    compute_dtype = jnp.dtype(compute_dtype or x_q.dtype)
+    block_q, n_pad, m_pad = _message_shapes(n, m, block_q)
+
+    if n_pad != n:
+        x_q = jnp.pad(x_q, ((0, 0), (0, n_pad - n), (0, 0)))
+    if m_pad != m:
+        x_kv = jnp.pad(x_kv, ((0, 0), (0, m_pad - m), (0, 0)))
+    mask = jnp.ones((batch, m), jnp.float32) if maskf is None else maskf
+    mask = jnp.pad(mask, ((0, 0), (0, m_pad - m)))[:, None, :]
+
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _message_kernel,
+        num_heads=num_heads,
+        scale=(dim // num_heads) ** -0.5,
+        compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            *(const(*t.shape) for t in w),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=batch * (8 * n_pad * dim * dim + 4 * n_pad * m_pad * dim),
+            bytes_accessed=(2 * x_q.size + x_kv.size) * x_q.dtype.itemsize,
+            transcendentals=batch * n_pad * m_pad,
+        ),
+    )(x_q, x_kv, mask, *w)
+    return out[:, :n]
+
+
+def _message_backward(x_q, x_kv, maskf, w: MessageWeights, g, num_heads, block_q, interpret, compute_dtype=None):
+    batch, n, dim = x_q.shape
+    m = x_kv.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    compute_dtype = jnp.dtype(compute_dtype or x_q.dtype)
+    block_q, n_pad, m_pad = _message_shapes(n, m, block_q)
+
+    if n_pad != n:
+        x_q = jnp.pad(x_q, ((0, 0), (0, n_pad - n), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
+    if m_pad != m:
+        x_kv = jnp.pad(x_kv, ((0, 0), (0, m_pad - m), (0, 0)))
+    mask = jnp.ones((batch, m), jnp.float32) if maskf is None else maskf
+    mask = jnp.pad(mask, ((0, 0), (0, m_pad - m)))[:, None, :]
+
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _message_bwd_kernel,
+        num_heads=num_heads,
+        scale=(dim // num_heads) ** -0.5,
+        compute_dtype=compute_dtype,
+        n_blocks=n_pad // block_q,
+    )
+    wgrad_specs = []
+    wgrad_shapes = []
+    for t in w:
+        wgrad_specs.append(const(*t.shape))
+        wgrad_shapes.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
+    dxq, dxkv, *dw = pl.pallas_call(
+        kernel,
+        grid=(batch, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            *(const(*t.shape) for t in w),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            *wgrad_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n_pad, dim), x_q.dtype),
+            jax.ShapeDtypeStruct((batch, m_pad, dim), x_kv.dtype),
+            *wgrad_shapes,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, dim), compute_dtype),  # k
+            pltpu.VMEM((m_pad, dim), compute_dtype),  # v
+            pltpu.VMEM((m_pad, dim), jnp.float32),  # dk accumulator
+            pltpu.VMEM((m_pad, dim), jnp.float32),  # dv accumulator
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=batch * (24 * n_pad * dim * dim + 14 * n_pad * m_pad * dim),
+            bytes_accessed=4 * x_q.size * x_q.dtype.itemsize,
+            transcendentals=batch * n_pad * m_pad,
+        ),
+    )(x_q, x_kv, mask, g, *w)
+    dw = MessageWeights(*[d.astype(t.dtype) for d, t in zip(dw, w)])
+    return dxq[:, :n], dxkv[:, :m], dw
+
+
+def xla_reference_message(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    w: MessageWeights,
+    num_heads: int,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Attention-half math in plain XLA — parity oracle for the message
+    kernels (mirrors MultiheadAttention's softmax path, models/gnn.py)."""
+    dim = x_q.shape[-1]
+    dh = dim // num_heads
+    dtype = compute_dtype or x_q.dtype
+
+    def dense(x, kern, bias):
+        return (
+            jax.lax.dot_general(
+                x.astype(dtype), kern.astype(dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias[None]
+        ).astype(dtype)
+
+    q = dense(x_q, w.wq, w.bq)
+    k = dense(x_kv, w.wk, w.bk)
+    v = dense(x_kv, w.wv, w.bv)
+
+    def split(x):
+        b, l, _ = x.shape
+        return x.reshape(b, l, num_heads, dh).transpose(0, 2, 1, 3)
+
+    b, n = x_q.shape[0], x_q.shape[1]
+    logits = jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)).astype(jnp.float32) * dh**-0.5
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, _NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dtype), split(v))
+    attn = out.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(dtype)
+    return dense(attn, w.wo, w.bo)
+
+
+def fused_attention_message(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    weights: MessageWeights,
+    num_heads: int,
+    block_q: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """The attention half of a propagation layer (projections + masked
+    softmax attention + out projection) as one fused kernel with a FUSED
+    BACKWARD kernel — the training path's replacement for the eval-only
+    whole-layer kernel (train-mode BatchNorm lives in the XLA FFN half where
+    autodiff handles the batch statistics).
+
+    x_q [B, N, D] in the compute dtype (bf16 in the model); weights in the
+    PARAM dtype (f32) so the weight cotangents return in full precision.
+    Returns msg [B, N, D] in x_q.dtype. Masks travel as primal float
+    arguments (zero cotangent) so the kernels compose with jax.checkpoint.
+    """
+    maskf = None if kv_mask is None else kv_mask.astype(jnp.float32)
+
+    @jax.custom_vjp
+    def f(x_q, x_kv, w, mk):
+        return _message_forward(
+            x_q, x_kv, mk, w, num_heads, block_q, interpret, compute_dtype
+        )
+
+    def f_fwd(x_q, x_kv, w, mk):
+        return f(x_q, x_kv, w, mk), (x_q, x_kv, w, mk)
+
+    def f_bwd(residuals, g):
+        x_q, x_kv, w, mk = residuals
+        dxq, dxkv, dw = _message_backward(
+            x_q, x_kv, mk, w, g, num_heads, block_q, interpret, compute_dtype
+        )
+        dm = None if mk is None else jnp.zeros_like(mk)
+        return dxq.astype(x_q.dtype), dxkv.astype(x_kv.dtype), dw, dm
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x_q, x_kv, weights, maskf)
+
+
 def fused_attention_propagation(
     x_q: jnp.ndarray,
     x_kv: jnp.ndarray,

@@ -756,6 +756,115 @@ class TestFusedFAVORLayer:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+class TestFusedMessageKernel:
+    """Train-path fused attention half (fused_attention_message): forward vs
+    the XLA reference, the FUSED BACKWARD kernel vs XLA autodiff (inputs AND
+    all eight projection weights), and the train-mode module wiring."""
+
+    @staticmethod
+    def _weights(dim, seed=0, dtype=jnp.float32):
+        from openglue_tpu.ops.pallas.gnn_layer_kernel import MessageWeights
+
+        ks = jax.random.split(jax.random.key(seed), 8)
+        mk = lambda i, *s: (
+            jax.random.normal(ks[i], s, jnp.float32)
+            / np.sqrt(s[-2] if len(s) > 1 else 1.0)
+        )
+        return MessageWeights(
+            wq=mk(0, dim, dim).astype(dtype), bq=mk(1, 1, dim),
+            wk=mk(2, dim, dim).astype(dtype), bk=mk(3, 1, dim),
+            wv=mk(4, dim, dim).astype(dtype), bv=mk(5, 1, dim),
+            wo=mk(6, dim, dim).astype(dtype), bo=mk(7, 1, dim),
+        )
+
+    def test_forward_matches_xla_reference(self):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        w = self._weights(dim)
+        ref = glk.xla_reference_message(x_q, x_kv, mask, w, heads)
+        out = glk.fused_attention_message(x_q, x_kv, mask, w, heads, block_q=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    @pytest.mark.parametrize("masked", [False, True])
+    def test_fused_backward_matches_xla(self, masked):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 64, 4
+        n, m = 72, 56  # unaligned + multiple query blocks
+        x_q, x_kv = rand(7, 2, n, dim), rand(8, 2, m, dim)
+        mask = (
+            jnp.arange(m)[None, :] < jnp.asarray([40, m])[:, None] if masked else None
+        )
+        w = self._weights(dim, seed=2)
+
+        def loss_kernel(a, b, c):
+            out = glk.fused_attention_message(a, b, mask, c, heads, block_q=32)
+            return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+
+        def loss_ref(a, b, c):
+            out = glk.xla_reference_message(a, b, mask, c, heads)
+            return jnp.sum(out * jnp.cos(out))
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x_q, x_kv, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, x_kv, w)
+        for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)):
+            # rtol covers f32 summation-order noise on large weight grads
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=3e-4
+            )
+
+    def test_module_train_step_parity(self):
+        """AttentionalPropagation with train=True routes through the fused
+        message kernel (use_pallas + forced dispatch): outputs, input/param
+        gradients AND the mutated BatchNorm batch_stats must match the
+        composed path."""
+        from openglue_tpu.models.gnn import AttentionalPropagation
+        from openglue_tpu.ops.pallas import force_fused_dispatch
+
+        dim, heads, n = 64, 4, 96
+        x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
+        kv_mask = jnp.arange(n)[None, :] < jnp.asarray([70, n])[:, None]
+        q_mask = jnp.arange(n)[None, :] < jnp.asarray([n, 80])[:, None]
+        mod = AttentionalPropagation(embed_dim=dim, num_heads=heads)
+        variables = mod.init(jax.random.key(0), x_q, x_kv, q_mask, kv_mask, True)
+        fused_mod = AttentionalPropagation(
+            embed_dim=dim, num_heads=heads, use_pallas=True
+        )
+
+        def run(module, v, xq):
+            def loss(params, xq):
+                out, mut = module.apply(
+                    {**v, "params": params}, xq, x_kv, q_mask, kv_mask, True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.sum(out * jnp.cos(out)), mut
+
+            (val, mut), grads = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+                v["params"], xq
+            )
+            return val, mut, grads
+
+        val_c, mut_c, g_c = run(mod, variables, x_q)
+        force_fused_dispatch(True)
+        try:
+            val_f, mut_f, g_f = run(fused_mod, variables, x_q)
+        finally:
+            force_fused_dispatch(False)
+
+        np.testing.assert_allclose(float(val_f), float(val_c), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(mut_f), jax.tree_util.tree_leaves(mut_c)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_c)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
 class TestRematComposesWithPallas:
     """jax.checkpoint around a layer whose Pallas custom_vjp takes the mask as
     a primal argument (regression: a closed-over traced mask escaped the
