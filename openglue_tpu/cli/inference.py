@@ -33,6 +33,7 @@ class OpenGlueMatcher:
         variables: Dict,
         match_threshold: Optional[float] = None,
         target_size: Tuple[int, int] = (960, 720),
+        buckets: Optional[Tuple[int, ...]] = None,
     ):
         import jax
 
@@ -49,6 +50,13 @@ class OpenGlueMatcher:
             else float(config.get("inference.match_threshold", 0.2))
         )
         self.target_size = tuple(target_size)
+        # inference.buckets: pad each pair to the smallest bucket that fits its
+        # real keypoint counts instead of the extractor cap — sparse images run
+        # on smaller O(N^2) matcher graphs (same contract as data.buckets in
+        # the train/eval CLIs; see data/bucketing.py)
+        if buckets is None:
+            buckets = config.get("inference.buckets")
+        self.buckets = tuple(int(b) for b in buckets) if buckets else None
 
         laf_method = config.get("superglue.laf_to_sideinfo_method", "none")
         self.laf_converter = get_laf_to_sideinfo_converter(laf_method)
@@ -80,39 +88,42 @@ class OpenGlueMatcher:
         self._match_jit = jax.jit(
             lambda v, kw: self.matcher.apply(v, **kw)
         )
-        self._compiled = None  # (shapes key, AOT executable) — see precompile
+        self._compiled = {}  # (k, d, s) -> AOT executable — see precompile
+        self._last_num_keypoints = None  # matcher N of the last match_images
 
-    def precompile(self, num_keypoints: int) -> None:
-        """Ahead-of-time compile the matcher at the serving shape.
+    def precompile(self, num_keypoints) -> None:
+        """Ahead-of-time compile the matcher at the serving shape(s).
 
         ``jit.lower(...).compile()`` takes seconds where the first jitted
         DISPATCH can pay a much larger kernel-compilation cost (minutes over
         a remote-compile TPU tunnel) — cold-start control for serving.
-        The compiled executable is used whenever the extracted keypoint count
-        matches; other shapes fall back to the jit path."""
+        Accepts one keypoint count or a sequence (e.g. ``matcher.buckets``);
+        a compiled executable is used whenever the matcher-input keypoint
+        count matches, other shapes fall back to the jit path."""
+        import jax as _jax
         import jax.numpy as jnp
 
-        k = num_keypoints
+        counts = (
+            (num_keypoints,) if isinstance(num_keypoints, int) else tuple(num_keypoints)
+        )
         d = int(self.features_config["descriptor_dim"])
         s = self.laf_converter.side_info_dim + 1
-        kw = dict(
-            kpts0=jnp.zeros((1, k, 2), jnp.float32),
-            kpts1=jnp.zeros((1, k, 2), jnp.float32),
-            desc0=jnp.zeros((1, k, d), jnp.float32),
-            desc1=jnp.zeros((1, k, d), jnp.float32),
-            side_info0=jnp.zeros((1, k, s), jnp.float32),
-            side_info1=jnp.zeros((1, k, s), jnp.float32),
-            image_size0=jnp.zeros((1, 2), jnp.float32),
-            image_size1=jnp.zeros((1, 2), jnp.float32),
-            mask0=jnp.zeros((1, k), bool),
-            mask1=jnp.zeros((1, k), bool),
-        )
-        import jax as _jax
-
-        executable = _jax.jit(lambda v, kw: self.matcher.apply(v, **kw)).lower(
-            self.variables, kw
-        ).compile()
-        self._compiled = (k, d, s, executable)
+        for k in counts:
+            kw = dict(
+                kpts0=jnp.zeros((1, k, 2), jnp.float32),
+                kpts1=jnp.zeros((1, k, 2), jnp.float32),
+                desc0=jnp.zeros((1, k, d), jnp.float32),
+                desc1=jnp.zeros((1, k, d), jnp.float32),
+                side_info0=jnp.zeros((1, k, s), jnp.float32),
+                side_info1=jnp.zeros((1, k, s), jnp.float32),
+                image_size0=jnp.zeros((1, 2), jnp.float32),
+                image_size1=jnp.zeros((1, 2), jnp.float32),
+                mask0=jnp.zeros((1, k), bool),
+                mask1=jnp.zeros((1, k), bool),
+            )
+            self._compiled[(k, d, s)] = _jax.jit(
+                lambda v, kw: self.matcher.apply(v, **kw)
+            ).lower(self.variables, kw).compile()
 
     def extract(self, image: np.ndarray):
         """grayscale uint8 [H, W] -> (lafs, scores, desc, mask) numpy."""
@@ -139,6 +150,28 @@ class OpenGlueMatcher:
         lafs, scores, desc, mask = self.extractor.detect_and_compute(resized)
         return lafs, scores, desc, mask, (w, h)
 
+    @staticmethod
+    def _to_bucket(lafs, scores, desc, mask, bucket: int):
+        """Trim (top response among valid) or zero-pad the per-image feature
+        arrays to ``bucket`` keypoints; padding rows carry mask=False."""
+        n = len(scores)
+        if n == bucket:
+            return lafs, scores, desc, mask
+        if n > bucket:
+            # valid keypoints first (by response), invalid padding last —
+            # the same top-score selection the collate path uses
+            order = np.argsort(
+                np.where(mask, -scores.astype(np.float64), np.inf), kind="stable"
+            )[:bucket]
+            return lafs[order], scores[order], desc[order], mask[order]
+        pad = bucket - n
+        return (
+            np.concatenate([lafs, np.zeros((pad,) + lafs.shape[1:], lafs.dtype)]),
+            np.concatenate([scores, np.zeros(pad, scores.dtype)]),
+            np.concatenate([desc, np.zeros((pad, desc.shape[1]), desc.dtype)]),
+            np.concatenate([mask, np.zeros(pad, bool)]),
+        )
+
     def match_images(self, image0: np.ndarray, image1: np.ndarray) -> Dict[str, np.ndarray]:
         """Full pipeline on a pair of grayscale uint8 images."""
         import jax.numpy as jnp
@@ -146,10 +179,20 @@ class OpenGlueMatcher:
         from openglue_tpu.features.prepare import prepare_features_output
         from openglue_tpu.models.matching import decode_from_output
 
+        extracted = [self.extract(img) for img in (image0, image1)]
+        if self.buckets is not None:
+            from openglue_tpu.data.bucketing import batch_bucket
+
+            counts = [int(np.sum(mask)) for _, _, _, mask, _ in extracted]
+            bucket = batch_bucket(counts, self.buckets)
+            extracted = [
+                (*self._to_bucket(lafs, scores, desc, mask, bucket), size)
+                for lafs, scores, desc, mask, size in extracted
+            ]
+
         sides = []
         raw_lafs = []
-        for img in (image0, image1):
-            lafs, scores, desc, mask, size = self.extract(img)
+        for lafs, scores, desc, mask, size in extracted:
             raw_lafs.append(lafs)
             side = prepare_features_output(
                 jnp.asarray(lafs[None]),
@@ -169,13 +212,15 @@ class OpenGlueMatcher:
             image_size0=s0.image_size, image_size1=s1.image_size,
             mask0=s0.mask, mask1=s1.mask,
         )
-        if (
-            self._compiled is not None
-            and self._compiled[:3]
-            == (s0.keypoints.shape[1], s0.descriptors.shape[2], s0.side_info.shape[2])
-            and s1.keypoints.shape[1] == s0.keypoints.shape[1]
-        ):
-            out = self._compiled[3](self.variables, kw)
+        self._last_num_keypoints = int(s0.keypoints.shape[1])
+        key = (s0.keypoints.shape[1], s0.descriptors.shape[2], s0.side_info.shape[2])
+        executable = (
+            self._compiled.get(key)
+            if s1.keypoints.shape[1] == s0.keypoints.shape[1]
+            else None
+        )
+        if executable is not None:
+            out = executable(self.variables, kw)
         else:
             out = self._match_jit(self.variables, kw)
         decoded = decode_from_output(
@@ -308,13 +353,21 @@ def main(argv=None):
     parser.add_argument("--image1", required=True)
     parser.add_argument("--checkpoint_step", type=int, default=None)
     parser.add_argument("--match_threshold", type=float, default=None)
+    parser.add_argument(
+        "--buckets", type=int, nargs="*", default=None,
+        help="static keypoint bucket sizes (e.g. --buckets 256 512 1024): pad "
+        "each pair to the smallest bucket fitting its real counts instead of "
+        "the extractor cap (defaults to config inference.buckets)",
+    )
     parser.add_argument("--no_ransac", action="store_true")
     parser.add_argument("--output", default=None, help="save matches to .npz")
     parser.add_argument("--visualize", default=None, help="write a match image here")
     args = parser.parse_args(argv)
 
     matcher = initialize_matcher(
-        args.experiment, args.checkpoint_step, match_threshold=args.match_threshold
+        args.experiment, args.checkpoint_step,
+        match_threshold=args.match_threshold,
+        buckets=tuple(args.buckets) if args.buckets else None,
     )
     result = run_inference(matcher, args.image0, args.image1, ransac=not args.no_ransac)
     print(f"{len(result['keypoints0'])} matches")

@@ -253,7 +253,7 @@ class TestExtractAndInference:
         # verify the compiled executable reproduces the jit path exactly
         base = run_inference(matcher, img_dir / "a.png", img_dir / "b.png", ransac=False)
         matcher.precompile(num_keypoints=256)
-        assert matcher._compiled is not None
+        assert (256, 128, 1) in matcher._compiled
         result_aot = run_inference(
             matcher, img_dir / "a.png", img_dir / "b.png", ransac=False
         )
@@ -261,6 +261,52 @@ class TestExtractAndInference:
         np.testing.assert_allclose(
             result_aot["confidence"], base["confidence"], rtol=1e-6
         )
+
+        # bucketed inference (inference.buckets, same contract as data.buckets
+        # in the train/eval CLIs): the pair runs at the smallest bucket that
+        # fits its real keypoint counts, not the extractor cap
+        bucketed = initialize_matcher(
+            exp, target_size=(320, 240), buckets=(64, 512)
+        )
+        res_b = run_inference(
+            bucketed, img_dir / "a.png", img_dir / "b.png", ransac=False
+        )
+        assert bucketed._last_num_keypoints in (64, 512)
+        assert len(res_b["keypoints0"]) >= 1
+        # matched keypoints are a subset of the unbucketed run's keypoint set
+        # when the bucket only trims padding/low-response rows
+        if bucketed._last_num_keypoints == 512:
+            kp_base = {tuple(np.round(k, 3)) for k in base["keypoints0"]}
+            assert all(tuple(np.round(k, 3)) in kp_base for k in res_b["keypoints0"])
+
+
+class TestBucketTrimPad:
+    def test_to_bucket_trims_valid_first_and_pads(self):
+        from openglue_tpu.cli.inference import OpenGlueMatcher
+
+        n = 8
+        lafs = np.arange(n * 6, dtype=np.float32).reshape(n, 2, 3)
+        scores = np.array([0.9, 0.1, 0.5, 0.7, 0.3, 0.0, 0.0, 0.0], np.float32)
+        mask = np.array([1, 1, 1, 1, 1, 0, 0, 0], bool)
+        desc = np.tile(np.arange(n, dtype=np.float32)[:, None], (1, 4))
+
+        # trim to 3: top responses among VALID rows, descending
+        l2, s2, d2, m2 = OpenGlueMatcher._to_bucket(lafs, scores, desc, mask, 3)
+        np.testing.assert_array_equal(s2, np.array([0.9, 0.7, 0.5], np.float32))
+        assert m2.all() and l2.shape == (3, 2, 3) and d2.shape == (3, 4)
+
+        # trim to 6: all 5 valid kept (padding rows can fill the remainder)
+        _, s6, _, m6 = OpenGlueMatcher._to_bucket(lafs, scores, desc, mask, 6)
+        assert m6.sum() == 5
+        np.testing.assert_array_equal(
+            np.sort(s6[m6]), np.array([0.1, 0.3, 0.5, 0.7, 0.9], np.float32)
+        )
+
+        # pad to 12: originals preserved in place, padding masked out
+        l12, s12, d12, m12 = OpenGlueMatcher._to_bucket(lafs, scores, desc, mask, 12)
+        np.testing.assert_array_equal(l12[:n], lafs)
+        np.testing.assert_array_equal(m12, list(mask) + [False] * 4)
+        assert d12.shape == (12, 4) and not s12[n:].any()
 
 
 @pytest.mark.slow
