@@ -45,6 +45,11 @@ def main():
         help="attention mechanism (the paper's accuracy-vs-speed study axis)",
     )
     parser.add_argument(
+        "--favor-features", type=int, default=None,
+        help="FAVOR random-feature count F (default 2*head_dim; the paper's "
+        "variance-vs-cost knob — more features = a closer softmax estimate)",
+    )
+    parser.add_argument(
         "--redraw-epochs", type=int, default=1,
         help="re-sample FAVOR projections every N epochs (reference redraws "
         "via a Lightning callback, lightning_callbacks.py:10-14); 0 = never",
@@ -72,6 +77,7 @@ def main():
         descriptor_dim=args.dim, pe_hidden_layers_sizes=pe_sizes,
         num_stages=args.stages, num_heads=4, otp_num_iters=args.otp_iters,
         attention=args.attention,
+        favor_num_features=args.favor_features,
         residual=True, dtype=jnp.bfloat16 if args.bf16 else None,
         chain_dtype=jnp.bfloat16 if args.chain_bf16 else None,
         use_pallas=args.pallas,

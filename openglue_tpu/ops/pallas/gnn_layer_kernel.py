@@ -485,14 +485,21 @@ def extract_message_weights(mha_params: dict) -> MessageWeights:
 def _message_kernel(
     x_q_ref, x_kv_ref, mask_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-    out_ref,
-    k_scratch, v_scratch,
-    *, num_heads: int, scale: float, compute_dtype,
+    out_ref, *rest,
+    num_heads: int, scale: float, compute_dtype, save_stats: bool = False,
 ):
     """Attention-half forward: q/k/v projections + masked softmax attention +
     out projection, one query block per grid step (the first two thirds of
     _layer_kernel — the training path keeps the FFN/BatchNorm half in XLA
-    because train-mode BN needs cross-grid batch statistics)."""
+    because train-mode BN needs cross-grid batch statistics).
+
+    ``save_stats`` (the custom_vjp forward): also emit the pre-out-projection
+    attention output and the per-row log-sum-exp so the backward kernel skips
+    the P·V recompute and the softmax max/sum reductions."""
+    if save_stats:
+        attn_ref, lse_ref, k_scratch, v_scratch = rest
+    else:
+        k_scratch, v_scratch = rest
     i = pl.program_id(1)
     dim = wq_ref.shape[0]
     dh = dim // num_heads
@@ -526,13 +533,17 @@ def _message_kernel(
         denom = jnp.sum(p, axis=1, keepdims=True)
         o = _dot(p.astype(compute_dtype), v_scratch[:, sl])  # [BQ, dh] f32
         head_outs.append(o / denom)
+        if save_stats:
+            lse_ref[0, h] = (m + jnp.log(denom))[:, 0]
     attn = jnp.concatenate(head_outs, axis=1).astype(compute_dtype)
+    if save_stats:
+        attn_ref[0] = attn.astype(attn_ref.dtype)
     msg = _dot(attn, wo_ref[...].astype(compute_dtype)) + bo_ref[...]
     out_ref[0] = msg.astype(out_ref.dtype)
 
 
 def _message_bwd_kernel(
-    x_q_ref, x_kv_ref, mask_ref, g_ref,
+    x_q_ref, x_kv_ref, mask_ref, g_ref, attn_ref, lse_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
     dxq_ref, dxkv_ref,
     dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref,
@@ -540,8 +551,10 @@ def _message_bwd_kernel(
     *, num_heads: int, scale: float, compute_dtype, n_blocks: int,
 ):
     """Fused backward of the attention half. Per (batch, query block):
-    recompute q/k/v and the softmax probabilities in VMEM (nothing [N, M]
-    ever touches HBM), then
+    recompute q/k/v in VMEM and rebuild the softmax probabilities from the
+    saved log-sum-exp (nothing [N, M] ever touches HBM; the forward-saved
+    ``attn`` output skips the P V recompute, the saved ``lse`` skips the
+    max/sum reductions — one exp is the only transcendental), then
         dattn = g wo';   dwo += attn' g
         per head: dv += P' dattn;  dP = dattn v';  dS = P(dP - rowsum(dP P));
                   dq = dS k scale; dk += dS' q scale
@@ -589,6 +602,15 @@ def _message_bwd_kernel(
     )  # [BQ, D] f32
     dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
 
+    # dwo = attn^T @ g from the forward-saved pre-projection output — one
+    # [D, D] matmul instead of a per-head P V recompute
+    attn_saved = attn_ref[0].astype(compute_dtype)
+    dwo_ref[...] += jax.lax.dot_general(
+        attn_saved, gc,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
     dq_cols = []
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
@@ -599,20 +621,8 @@ def _message_bwd_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale + mask_add  # [BQ, M]
-        m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        p = p / denom  # [BQ, M] f32
+        p = jnp.exp(logits - lse_ref[0, h][:, None])  # [BQ, M] f32, normalized
         pc = p.astype(compute_dtype)
-
-        # attn_h for dwo rows: dwo[sl, :] += attn_h^T @ g (p is normalized
-        # here, unlike the forward kernel's post-aggregation divide)
-        attn_h = _dot(pc, vh).astype(compute_dtype)  # [BQ, dh]
-        dwo_ref[sl, :] += jax.lax.dot_general(
-            attn_h, gc,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
         dah = dattn[:, sl].astype(compute_dtype)
         dv_acc[:, sl] += jax.lax.dot_general(
@@ -691,7 +701,10 @@ def _message_shapes(n: int, m: int, block_q: Optional[int]):
     return block_q, _round_up(n, block_q), _round_up(m, 128)
 
 
-def _message_forward(x_q, x_kv, maskf, w: MessageWeights, num_heads, block_q, interpret, compute_dtype=None):
+def _message_forward(
+    x_q, x_kv, maskf, w: MessageWeights, num_heads, block_q, interpret,
+    compute_dtype=None, save_stats: bool = False,
+):
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
     if interpret is None:
@@ -714,7 +727,23 @@ def _message_forward(x_q, x_kv, maskf, w: MessageWeights, num_heads, block_q, in
         num_heads=num_heads,
         scale=(dim // num_heads) ** -0.5,
         compute_dtype=compute_dtype,
+        save_stats=save_stats,
     )
+    out_specs = pl.BlockSpec(
+        (1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype)
+    if save_stats:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, n_pad), jnp.float32),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(batch, n_pad // block_q),
@@ -724,10 +753,8 @@ def _message_forward(x_q, x_kv, maskf, w: MessageWeights, num_heads, block_q, in
             pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             *(const(*t.shape) for t in w),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((m_pad, dim), compute_dtype),
             pltpu.VMEM((m_pad, dim), compute_dtype),
@@ -739,10 +766,16 @@ def _message_forward(x_q, x_kv, maskf, w: MessageWeights, num_heads, block_q, in
             transcendentals=batch * n_pad * m_pad,
         ),
     )(x_q, x_kv, mask, *w)
+    if save_stats:
+        out, attn, lse = out
+        return out[:, :n], attn, lse  # attn/lse stay n_pad-padded for bwd
     return out[:, :n]
 
 
-def _message_backward(x_q, x_kv, maskf, w: MessageWeights, g, num_heads, block_q, interpret, compute_dtype=None):
+def _message_backward(
+    x_q, x_kv, maskf, w: MessageWeights, g, attn, lse, num_heads, block_q,
+    interpret, compute_dtype=None,
+):
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
     if interpret is None:
@@ -781,6 +814,8 @@ def _message_backward(x_q, x_kv, maskf, w: MessageWeights, g, num_heads, block_q
             pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
             *(const(*t.shape) for t in w),
         ],
         out_specs=(
@@ -801,11 +836,11 @@ def _message_backward(x_q, x_kv, maskf, w: MessageWeights, g, num_heads, block_q
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=batch * (24 * n_pad * dim * dim + 14 * n_pad * m_pad * dim),
+            flops=batch * (24 * n_pad * dim * dim + 12 * n_pad * m_pad * dim),
             bytes_accessed=4 * x_q.size * x_q.dtype.itemsize,
             transcendentals=batch * n_pad * m_pad,
         ),
-    )(x_q, x_kv, mask, g, *w)
+    )(x_q, x_kv, mask, g, attn, lse, *w)
     dw = MessageWeights(*[d.astype(t.dtype) for d, t in zip(dw, w)])
     return dxq[:, :n], dxkv[:, :m], dw
 
@@ -882,12 +917,17 @@ def fused_attention_message(
         )
 
     def f_fwd(x_q, x_kv, w, mk):
-        return f(x_q, x_kv, w, mk), (x_q, x_kv, w, mk)
+        out, attn, lse = _message_forward(
+            x_q, x_kv, mk, w, num_heads, block_q, interpret, compute_dtype,
+            save_stats=True,
+        )
+        return out, (x_q, x_kv, w, mk, attn, lse)
 
     def f_bwd(residuals, g):
-        x_q, x_kv, w, mk = residuals
+        x_q, x_kv, w, mk, attn, lse = residuals
         dxq, dxkv, dw = _message_backward(
-            x_q, x_kv, mk, w, g, num_heads, block_q, interpret, compute_dtype
+            x_q, x_kv, mk, w, g, attn, lse, num_heads, block_q, interpret,
+            compute_dtype,
         )
         dm = None if mk is None else jnp.zeros_like(mk)
         return dxq.astype(x_q.dtype), dxkv.astype(x_kv.dtype), dw, dm

@@ -398,6 +398,7 @@ def _log_sinkhorn_blocked(
     reg: float,
     interpret: bool,
     r_blk: int = 256,
+    k_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Blocked drop-in for log_sinkhorn for matrices beyond VMEM."""
     batch, rows, cols = M.shape
@@ -407,12 +408,13 @@ def _log_sinkhorn_blocked(
     M_pad = M_pad.at[:, :rows, :cols].set((M / reg).astype(jnp.float32))
     la, lb = _padded_marginals(log_a, log_b, rows, cols, rp, cp)
     return _blocked_from_padded(
-        la, lb, M_pad, rows, cols, num_iters, interpret, r_blk
+        la, lb, M_pad, rows, cols, num_iters, interpret, r_blk, k_dtype
     ).astype(M.dtype)
 
 
 def _blocked_from_padded(
-    la, lb, M_pad, rows, cols, num_iters, interpret, r_blk: int = 256
+    la, lb, M_pad, rows, cols, num_iters, interpret, r_blk: int = 256,
+    k_dtype=jnp.bfloat16,
 ):
     """Blocked runner on an already padded/regularized matrix.
 
@@ -421,13 +423,23 @@ def _blocked_from_padded(
     previous log-domain streaming kernel paid two full-matrix exp's per
     iteration and ran ~2× the DMA roofline at N=2048); the final
     column-stabilized half-iteration and the log_P assembly are one more
-    fused XLA pass over M — identical structure to the in-VMEM variant."""
+    fused XLA pass over M — identical structure to the in-VMEM variant.
+
+    ``k_dtype``: HBM storage dtype for K. The kernel is DMA-roofline-bound
+    (one full K read per iteration), so bf16 storage halves the wall time.
+    K ∈ [0, 1] row-stabilized, so bf16's 8-bit mantissa gives ≤0.4% relative
+    error per entry — below the truncation error of 20 un-converged Sinkhorn
+    iterations — and the final half-iteration + log_P assembly run in exact
+    f32 over the ORIGINAL M (only the u potential carries the ~4e-3-nat
+    perturbation; parity + decode-agreement pinned in
+    tests/test_pallas_kernels.py::test_blocked_sinkhorn_k_dtype). All
+    iteration ARITHMETIC stays f32 — bf16 is storage/DMA only."""
     batch, rp, cp = M_pad.shape
 
     # row-stabilized K; dead/padded rows are all-ones (rmax = M = -1e9), their
     # marginal a = 0 keeps them out of every column accumulation
     rmax = jnp.max(M_pad, axis=2, keepdims=True)  # [B, Rp, 1]
-    K = jnp.exp(M_pad - rmax)
+    K = jnp.exp(M_pad - rmax).astype(k_dtype)
 
     kernel = functools.partial(_blocked_scale_kernel, num_iters=num_iters, r_blk=r_blk)
     y = pl.pallas_call(
@@ -444,14 +456,14 @@ def _blocked_from_padded(
         out_shape=jax.ShapeDtypeStruct((batch, rp, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, cp), jnp.float32),  # v̂
-            pltpu.VMEM((2, r_blk, cp), jnp.float32),  # stripes
+            pltpu.VMEM((2, r_blk, cp), jnp.dtype(k_dtype)),  # stripes
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_iters * rp * cp,
-            bytes_accessed=batch * rp * cp * 4 * num_iters,
+            bytes_accessed=batch * rp * cp * jnp.dtype(k_dtype).itemsize * num_iters,
             transcendentals=batch * (rp + cp) * num_iters,
         ),
     )(K, la, lb)

@@ -119,9 +119,22 @@ class TestSinkhornKernel:
         log_a = jnp.broadcast_to(log_a, (2, n + 1))
         log_b = jnp.broadcast_to(log_b, (2, m + 1))
         out = sinkhorn_kernel._log_sinkhorn_blocked(
-            log_a, log_b, S_aug, num_iters=12, reg=1.0, interpret=True, r_blk=16
+            log_a, log_b, S_aug, num_iters=12, reg=1.0, interpret=True, r_blk=16,
+            k_dtype=jnp.float32,  # exact algebraic parity; bf16-K default below
         ) - norm
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+        # the bf16-K DMA-halving default: log_P perturbation stays below the
+        # 20-iteration truncation error (docstring bound ~1e-2 nats) and the
+        # decode argmax structure is preserved
+        out_bf16 = sinkhorn_kernel._log_sinkhorn_blocked(
+            log_a, log_b, S_aug, num_iters=12, reg=1.0, interpret=True, r_blk=16
+        ) - norm
+        np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(ref), atol=0.05)
+        agree = (
+            np.argmax(np.asarray(out_bf16), axis=2) == np.argmax(np.asarray(ref), axis=2)
+        ).mean()
+        assert agree >= 0.99
 
     def test_blocked_kernel_masked(self):
         """Dead rows/columns (masked keypoints) through the streaming kernel:
@@ -141,7 +154,8 @@ class TestSinkhornKernel:
         S_aug = jnp.concatenate([S_inner, S_dust], axis=1)
         log_a = jnp.concatenate([log_a_inner, log_a_dust[:, None]], axis=1)
         out = sinkhorn_kernel._log_sinkhorn_blocked(
-            log_a, log_b, S_aug, num_iters=10, reg=1.0, interpret=True, r_blk=8
+            log_a, log_b, S_aug, num_iters=10, reg=1.0, interpret=True, r_blk=8,
+            k_dtype=jnp.float32,
         ) - norm[:, None, None]
         valid = (
             jnp.concatenate([mask0, jnp.ones((2, 1), bool)], 1)[:, :, None]
@@ -178,11 +192,13 @@ class TestSinkhornKernel:
             scores, dustbin, num_iters=20, reg=0.5, mask0=mask0, mask1=mask1
         )
         pv = mask0[:, :, None] & mask1[:, None, :]
-        np.testing.assert_allclose(
-            np.asarray(out_k[:, :m, :n][pv]),
-            np.asarray(out_r[:, :m, :n][pv]),
-            atol=1e-3,
-        )
+        # the public dispatch ships bf16 K storage (DMA roofline): allow its
+        # ~1e-2-nat perturbation on top of the stabilization semantics this
+        # test pins; everything must stay finite and reference-close even at
+        # a ~500-nat spread
+        diff = np.asarray(out_k[:, :m, :n][pv]) - np.asarray(out_r[:, :m, :n][pv])
+        assert np.isfinite(np.asarray(out_k)).all()
+        np.testing.assert_allclose(diff, np.zeros_like(diff), atol=0.08)
 
 
 class TestPallasModelPath:
