@@ -48,6 +48,11 @@ def build_dataloaders(config, laf_converter):
     # sparse batches run on smaller graphs (data/bucketing.py).
     buckets = data.get("buckets")
     buckets = tuple(int(b) for b in buckets) if buckets else None
+    # data.bucket_grouping: regroup loaded samples into same-bucket batches
+    # before collating (data/bucketing.py BucketGroupedBatches) — at flagship
+    # batch sizes per-batch bucketing alone is a wash because one saturated
+    # image drags the batch to the cap.
+    bucket_grouping = bool(data.get("bucket_grouping")) and buckets is not None
     global_batch = int(data["batch_size"])
     start, stop = local_batch_slice(global_batch)
     local_batch = stop - start
@@ -65,31 +70,48 @@ def build_dataloaders(config, laf_converter):
         max_pairs_per_scene=data.get("val_max_pairs_per_scene"),
     )
 
-    train_loader = DataLoader(
-        train_ds,
-        batch_size=local_batch,
-        collate_fn=partial(
-            stack_keypoints_batch,
-            target_num_keypoints=num_kpts,
-            random=True,
-            laf_converter=laf_converter,
-            buckets=buckets,
-        ),
-        sampler=iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
-        num_workers=int(data.get("dataloader_workers", 2)),
+    train_collate = partial(
+        stack_keypoints_batch,
+        target_num_keypoints=num_kpts,
+        random=True,
+        laf_converter=laf_converter,
+        buckets=buckets,
     )
-    val_loader_fn = lambda: DataLoader(
-        val_ds,
-        batch_size=local_batch,
-        collate_fn=partial(
-            stack_keypoints_batch,
-            target_num_keypoints=num_kpts,
-            random=False,
-            laf_converter=laf_converter,
-            buckets=buckets,
-        ),
-        sampler=iter(ShardedSequentialSampler(len(val_ds))),
-        num_workers=int(data.get("dataloader_workers", 2)),
+    val_collate = partial(
+        stack_keypoints_batch,
+        target_num_keypoints=num_kpts,
+        random=False,
+        laf_converter=laf_converter,
+        buckets=buckets,
+    )
+    workers = int(data.get("dataloader_workers", 2))
+
+    def make_loader(ds, collate, sampler):
+        if not bucket_grouping:
+            return DataLoader(
+                ds, batch_size=local_batch, collate_fn=collate,
+                sampler=sampler, num_workers=workers,
+            )
+        # workers load raw samples in parallel (collate deferred: the
+        # identity "collate" returns the sample list); the consumer-side
+        # regrouper forms same-bucket batches and collates them
+        from openglue_tpu.data.bucketing import BucketGroupedBatches
+
+        chunks = DataLoader(
+            ds, batch_size=local_batch, collate_fn=list,
+            sampler=sampler, num_workers=workers, drop_last=False,
+        )
+        samples = (s for chunk in chunks for s in chunk)
+        return BucketGroupedBatches(
+            samples, batch_size=local_batch, buckets=buckets, collate_fn=collate
+        )
+
+    train_loader = make_loader(
+        train_ds, train_collate,
+        iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
+    )
+    val_loader_fn = lambda: make_loader(
+        val_ds, val_collate, iter(ShardedSequentialSampler(len(val_ds)))
     )
     return train_loader, val_loader_fn
 

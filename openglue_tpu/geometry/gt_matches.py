@@ -23,7 +23,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 
 from openglue_tpu.core.types import Transformation
-from openglue_tpu.geometry.transforms import cdist, reproject_keypoints
+from openglue_tpu.geometry.transforms import cdist_sq, reproject_keypoints
 
 UNMATCHED_INDEX = -1
 IGNORE_INDEX = -2
@@ -61,16 +61,22 @@ def generate_gt_matches(
     kpts0_t, depth_valid0 = reproject_keypoints(kpts0, transformation)
     kpts1_t, depth_valid1 = reproject_keypoints(kpts1, transformation_inv)
 
-    err01 = cdist(kpts0_t, kpts1)  # [B, N, M]
-    err10 = cdist(kpts1_t, kpts0)  # [B, M, N]
+    # SQUARED distances for the [B, N, M] matrices: sqrt is monotone, so the
+    # argmin/min structure is unchanged, and the per-matrix sqrt pass (the
+    # only transcendental over N*M elements here) moves to the [B, N]-sized
+    # row minima below — the thresholds and symmetric distances see exact
+    # Euclidean values. (The train step regenerates GT every step, so this
+    # path is measured hot: bench/profile_train.py gt_only.)
+    err01 = cdist_sq(kpts0_t, kpts1)  # [B, N, M]
+    err10 = cdist_sq(kpts1_t, kpts0)  # [B, M, N]
 
     # Exclude padded targets from the nearest-neighbor search.
     err01 = jnp.where(mask1[:, None, :], err01, _BIG)
     err10 = jnp.where(mask0[:, None, :], err10, _BIG)
 
-    min_dist0 = jnp.min(err01, axis=2)
+    min_dist0 = jnp.sqrt(jnp.min(err01, axis=2))
     nn0 = jnp.argmin(err01, axis=2)  # [B, N] best kpt1 for each kpt0
-    min_dist1 = jnp.min(err10, axis=2)
+    min_dist1 = jnp.sqrt(jnp.min(err10, axis=2))
     nn1 = jnp.argmin(err10, axis=2)  # [B, M] best kpt0 for each kpt1
 
     arange0 = jnp.arange(n)[None, :]

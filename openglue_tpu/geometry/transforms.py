@@ -132,3 +132,13 @@ def cdist(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     form is also cheap ([B,N,M,2] fuses into the reduction under XLA)."""
     diff = x1[..., :, None, :] - x2[..., None, :, :]
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+
+
+def cdist_sq(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """SQUARED pairwise Euclidean distance [B, N, D] x [B, M, D] -> [B, N, M].
+
+    Same direct-difference form as cdist (no ||a||²+||b||²-2ab cancellation)
+    but without the full-matrix sqrt pass — callers that only rank distances
+    (argmin/min) take the sqrt of the reduced [B, N] values instead."""
+    diff = x1[..., :, None, :] - x2[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)

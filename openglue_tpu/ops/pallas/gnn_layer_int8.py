@@ -104,6 +104,18 @@ def _quant_rows(x: jnp.ndarray):
     return xi8, sx
 
 
+def _quant_rows_ceiling(x: jnp.ndarray):
+    """PERF-CEILING PROBE variant (env OPENGLUE_INT8_CEILING, read at trace
+    time): constant scale, no absmax reduce / round / clip — numerically
+    WRONG, only used to measure how much of the int8 path's time the
+    activation-quantization VPU passes cost. If even this ceiling does not
+    beat bf16 by the int8 path's keep-threshold, the layer is
+    attention-bound and the quantized path cannot pay (BASELINE.md round-3
+    int8 disposition)."""
+    sx = jnp.full((x.shape[0], 1), 0.05, jnp.float32)
+    return x.astype(jnp.int8), sx
+
+
 def _qdot(xi8, sx, w_i8, sw, bias):
     """int8 x int8 -> int32 MXU dot, exact outer-product dequant + bias."""
     acc = jax.lax.dot_general(
@@ -126,6 +138,13 @@ def _layer_kernel_int8(
     """Same structure as gnn_layer_kernel._layer_kernel (softmax attention):
     grid (batch, query blocks); K/V projected once per batch element into
     VMEM scratch at the first block. All six dense matmuls run int8."""
+    import os
+
+    _quant_rows = (
+        _quant_rows_ceiling
+        if os.environ.get("OPENGLUE_INT8_CEILING")
+        else globals()["_quant_rows"]
+    )
     i = pl.program_id(1)
     dim = wq_ref.shape[0]
     dh = dim // num_heads

@@ -536,3 +536,34 @@ class TestBucketedPaddingCLI:
         # full CLI smoke with bucketed batches (train bucket 64, val bucket 16)
         state = main(["--config", str(cfg_path)])
         assert int(state.step) == 2
+
+    def test_bucket_grouping_emits_uniform_batches(self, tmp_path):
+        # both scenes in the TRAIN list: iid batches mix 9-kpt and 50-kpt
+        # pairs (every mixed batch pads to 64); data.bucket_grouping regroups
+        # them so 16-bucket batches appear
+        make_megadepth_fixture(tmp_path, scenes=("scene_a",), pairs_per_scene=10, num_kpts=50)
+        make_megadepth_fixture(tmp_path, scenes=("scene_b",), pairs_per_scene=10, num_kpts=9)
+        feat_dir = tmp_path / "features_cache"
+        write_yaml(
+            feat_dir / "config.yaml",
+            {"name": "OPENCV_SIFT", "descriptor_dim": 32, "parameters": {}},
+        )
+        (tmp_path / "train_list.txt").write_text("scene_a\nscene_b\n")
+        (tmp_path / "val_list.txt").write_text("scene_b\n")
+        cfg = self._config(tmp_path)
+        cfg["data"]["bucket_grouping"] = True
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, cfg)
+
+        from openglue_tpu.cli.train_cached import build_dataloaders, main
+        from openglue_tpu.core.config import load_config
+        from openglue_tpu.features.lafs import LAFConverter
+
+        train_loader, _ = build_dataloaders(load_config(cfg_path), LAFConverter())
+        it = iter(train_loader)
+        shapes = [next(it).side0.keypoints.shape[1] for _ in range(8)]
+        assert set(shapes) == {16, 64}, shapes
+
+        # full CLI smoke through the grouped loader
+        state = main(["--config", str(cfg_path)])
+        assert int(state.step) == 2

@@ -307,3 +307,70 @@ class TestBucketing:
             samples, target_num_keypoints=32, buckets=(64, 256)
         )
         assert small.side0.keypoints.shape[1] == 32
+
+    @staticmethod
+    def _fake_sample(count: int):
+        import numpy as np
+
+        return {"lafs0": np.zeros((count, 2, 3)), "lafs1": np.zeros((count // 2 + 1, 2, 3))}
+
+    def test_bucket_grouped_batches(self):
+        from openglue_tpu.data.bucketing import BucketGroupedBatches
+
+        # counts alternating small/large: per-batch bucketing would pad every
+        # batch of 4 to 1024; grouping emits uniform small and large batches
+        counts = [100, 900, 120, 950, 90, 800, 110, 990, 70, 850, 130, 920]
+        grouped = list(
+            BucketGroupedBatches(
+                (self._fake_sample(c) for c in counts),
+                batch_size=4,
+                buckets=(256, 1024),
+                collate_fn=lambda ss: [s["lafs0"].shape[0] for s in ss],
+            )
+        )
+        assert len(grouped) == 3
+        assert all(len(batch) == 4 for batch in grouped)
+        # stream-phase batches (all but the tail merge) are bucket-uniform
+        for batch in grouped[:2]:
+            kinds = {c <= 256 for c in batch}
+            assert len(kinds) == 1, f"mixed-bucket batch: {batch}"
+        # the tail merge drains largest-bucket leftovers first
+        assert grouped[2][:2] == [850, 920]
+
+    def test_bucket_grouped_tail_and_drop_last(self):
+        from openglue_tpu.data.bucketing import BucketGroupedBatches
+
+        counts = [100, 900, 120, 950, 90]  # no bucket fills a batch of 4
+        kwargs = dict(
+            batch_size=4,
+            buckets=(256, 1024),
+            collate_fn=lambda ss: [s["lafs0"].shape[0] for s in ss],
+        )
+        dropped = list(
+            BucketGroupedBatches((self._fake_sample(c) for c in counts), **kwargs)
+        )
+        # leftovers merge largest-first into one full batch; the remaining
+        # single sample is dropped (drop_last default)
+        assert len(dropped) == 1 and len(dropped[0]) == 4
+        assert dropped[0][:2] == [900, 950]  # largest bucket drains first
+        kept = list(
+            BucketGroupedBatches(
+                (self._fake_sample(c) for c in counts), drop_last=False, **kwargs
+            )
+        )
+        assert len(kept) == 2 and len(kept[1]) == 1
+
+    def test_bucket_grouped_num_batches_bound(self):
+        import itertools
+
+        from openglue_tpu.data.bucketing import BucketGroupedBatches
+
+        infinite = (self._fake_sample(c) for c in itertools.cycle([100, 900]))
+        grouped = BucketGroupedBatches(
+            infinite,
+            batch_size=2,
+            buckets=(256, 1024),
+            collate_fn=len,
+            num_batches=5,
+        )
+        assert len(list(grouped)) == 5
