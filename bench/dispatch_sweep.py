@@ -40,13 +40,15 @@ def main():
     parser.add_argument("--attention", default="softmax")
     parser.add_argument("--sizes", default="256,512,1024,2048")
     parser.add_argument("--paths", default="xla,pallas")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="override the per-size default batch")
     args = parser.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     paths = args.paths.split(",")
 
     rows = []
     for kpts in sizes:
-        row = {"kpts": kpts, "batch": BATCH_FOR.get(kpts, 16)}
+        row = {"kpts": kpts, "batch": args.batch or BATCH_FOR.get(kpts, 16)}
         for path in paths:
             margs = build_parser().parse_args(
                 ["--kpts", str(kpts), "--batch", str(row["batch"]),

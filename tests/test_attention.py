@@ -220,3 +220,31 @@ class TestFavorMultiHeadOracles:
         attn = Kmat / Kmat.sum(axis=-1, keepdims=True)
         ref = np.einsum("bhnm,bhmd->bhnd", attn, np.asarray(v))
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_favor_num_features_flows_through_model():
+    """SuperGlueConfig.favor_num_features (the --favor-features sweep axis,
+    reference attention.py:99-118 num_features) sizes the drawn projection
+    and the model still runs end to end."""
+    import jax
+
+    from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+    from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+    from openglue_tpu.train.step import superglue_inputs
+
+    cfg = SuperGlueConfig(
+        descriptor_dim=32, pe_hidden_layers_sizes=(16,), num_stages=1,
+        otp_num_iters=4, attention="favor_softmax", favor_num_features=48,
+    )
+    model = SuperGlue(cfg)
+    gen = SyntheticHomographyPairs(num_keypoints=32, descriptor_dim=32)
+    batch = gen.sample(jax.random.key(0), 2)
+    variables = model.init(jax.random.key(1), **superglue_inputs(batch))
+    projections = jax.tree_util.tree_leaves(variables["favor_projections"])
+    assert projections and all(p.shape[0] == 48 for p in projections), [
+        p.shape for p in projections
+    ]
+    out = jax.jit(
+        lambda v, b: model.apply(v, **superglue_inputs(b, train=False))
+    )(variables, batch)
+    assert out["scores"].shape == (2, 33, 33)
