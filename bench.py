@@ -59,6 +59,11 @@ def build_parser():
     )
     parser.add_argument("--xla-only", action="store_true", help="measure ONLY the XLA path")
     parser.add_argument("--pallas-budget-s", type=int, default=1500)
+    parser.add_argument(
+        "--int8-static", action="store_true", dest="int8_static",
+        help="int8 serving with OFFLINE-calibrated static activation scales "
+        "(no in-kernel absmax reductions; calibrates on the bench batch)",
+    )
     parser.add_argument("--attention", default="softmax")
     return parser
 
@@ -88,7 +93,10 @@ def measure(args) -> dict:
         dtype=dtype,
         chain_dtype=chain,
         use_pallas=args.pallas,
-        quantize="int8" if args.int8 else None,
+        quantize=(
+            "int8_static" if getattr(args, "int8_static", False)
+            else "int8" if args.int8 else None
+        ),
         decode_stats=True,
     )
     model = SuperGlue(cfg)
@@ -98,6 +106,16 @@ def measure(args) -> dict:
     init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b, train=False)))
     variables = init(jax.random.key(1), batch)
     jax.block_until_ready(variables)
+    if getattr(args, "int8_static", False):
+        # static-scale PTQ calibration: one mutable apply records per-layer
+        # activation absmaxes; serving then runs with static scales
+        _, calib = jax.jit(
+            lambda v, b: model.apply(
+                v, **superglue_inputs(b, train=False), mutable=["int8_calib"]
+            )
+        )(variables, batch)
+        variables = {**variables, **dict(calib)}
+        jax.block_until_ready(variables)
 
     def run(b):
         out = model.apply(variables, **superglue_inputs(b, train=False))
@@ -141,6 +159,7 @@ def measure(args) -> dict:
             "attention": args.attention,
             "pallas": bool(args.pallas),
             "int8": bool(args.int8),
+            "int8_static": bool(getattr(args, "int8_static", False)),
             "ms_per_batch": round(1000 * per_iter, 3),
             "baseline": "torch reference CPU same host, 1.7 pairs/s @N=1024",
         },
@@ -154,7 +173,9 @@ def _child(args, path_flag: str, timeout_s: int):
         "--batch", str(args.batch), "--kpts", str(args.kpts),
         "--iters-low", str(args.iters_low), "--iters-high", str(args.iters_high),
         "--attention", args.attention,
-    ] + (["--f32"] if args.f32 else []) + (["--chain-f32"] if args.chain_f32 else [])
+    ] + (["--f32"] if args.f32 else []) + (["--chain-f32"] if args.chain_f32 else []) + (
+        ["--int8"] if args.int8 else []
+    ) + (["--int8-static"] if args.int8_static else [])
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
     except (subprocess.TimeoutExpired, OSError):
@@ -169,8 +190,8 @@ def _child(args, path_flag: str, timeout_s: int):
 
 def main():
     args = build_parser().parse_args()
-    if args.int8:
-        args.pallas = True  # the int8 path is the quantized fused kernel
+    if args.int8 or args.int8_static:
+        args.pallas = True  # the int8 paths are the quantized fused kernel
 
     if args.pallas or args.xla_only:
         print(json.dumps(measure(args)), flush=True)
@@ -208,6 +229,16 @@ def main():
         best[0] is None or pallas_result.get("value", 0) > best[0].get("value", 0)
     ):
         best[0] = pallas_result
+    if pallas_result is not None and args.kpts == 1024 and not args.f32:
+        # the quantized static-PTQ serving path (quality-guarded: >=97%
+        # decode agreement tests + pose-AUC reproduction in BASELINE.md) is
+        # the fastest measured serving config — try it last, labeled in
+        # detail.int8_static, budget-boxed like the pallas attempt
+        static_result = child_with_retry("--int8-static", timeout_s=args.pallas_budget_s)
+        if static_result is not None and static_result.get("value", 0) > best[0].get(
+            "value", 0
+        ):
+            best[0] = static_result
     if best[0] is None:
         best[0] = {
             "metric": "image_pairs_matched_per_sec_per_chip",

@@ -54,6 +54,7 @@ def main():
         help="re-sample FAVOR projections every N epochs (reference redraws "
         "via a Lightning callback, lightning_callbacks.py:10-14); 0 = never",
     )
+    parser.add_argument("--seed", type=int, default=1, help="init/data seed")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument(
         "--chain-bf16", action="store_true",
@@ -85,7 +86,7 @@ def main():
     model = SuperGlue(cfg)
     init_batch = gen.sample(jax.random.key(999), args.batch)
     variables = jax.jit(lambda r, b: model.init(r, **superglue_inputs(b)))(
-        jax.random.key(1), init_batch
+        jax.random.key(args.seed), init_batch
     )
     jax.block_until_ready(variables)
     tx = None
@@ -137,7 +138,7 @@ def main():
         ):
             state = redraw_favor_projections(state, jax.random.key(777))
         state, losses = train_epoch(
-            state, jax.random.fold_in(jax.random.key(42), epoch), args.steps_per_epoch
+            state, jax.random.fold_in(jax.random.key(42 + args.seed), epoch), args.steps_per_epoch
         )
         if epoch % 5 == 4 or epoch in (0, args.epochs - 1):
             res = evaluate(state)

@@ -103,6 +103,15 @@ class OpenGlueMatcher:
         import jax as _jax
         import jax.numpy as jnp
 
+        if (
+            getattr(self.matcher.config, "quantize", None) == "int8_static"
+            and not any("int8_calib" in k for k in self.variables)
+        ):
+            raise RuntimeError(
+                "int8_static serving is uncalibrated: match one representative "
+                "pair first (the first match_images call calibrates), then "
+                "precompile"
+            )
         counts = (
             (num_keypoints,) if isinstance(num_keypoints, int) else tuple(num_keypoints)
         )
@@ -124,6 +133,27 @@ class OpenGlueMatcher:
             self._compiled[(k, d, s)] = _jax.jit(
                 lambda v, kw: self.matcher.apply(v, **kw)
             ).lower(self.variables, kw).compile()
+
+    def _ensure_calibrated(self, kw) -> None:
+        """Static-scale PTQ serving (`superglue.quantize: int8_static`): the
+        first matched pair doubles as the calibration batch — one mutable
+        apply records per-layer activation absmaxes into the "int8_calib"
+        collection; every later pair serves with static scales (no in-kernel
+        absmax reductions — BASELINE.md round-3 int8 disposition)."""
+        if getattr(self.matcher.config, "quantize", None) != "int8_static":
+            return
+        if any("int8_calib" in k for k in self.variables):
+            return
+        import jax as _jax
+
+        _, calib = _jax.jit(
+            lambda v, kw_: self.matcher.apply(v, **kw_, mutable=["int8_calib"])
+        )(self.variables, kw)
+        self.variables = {**self.variables, **dict(calib)}
+        # AOT executables lowered pre-calibration baked the old variables
+        # pytree; drop them so later matches re-precompile/jit with the
+        # calibrated structure
+        self._compiled.clear()
 
     def extract(self, image: np.ndarray):
         """grayscale uint8 [H, W] -> (lafs, scores, desc, mask) numpy."""
@@ -213,6 +243,7 @@ class OpenGlueMatcher:
             mask0=s0.mask, mask1=s1.mask,
         )
         self._last_num_keypoints = int(s0.keypoints.shape[1])
+        self._ensure_calibrated(kw)
         key = (s0.keypoints.shape[1], s0.descriptors.shape[2], s0.side_info.shape[2])
         executable = (
             self._compiled.get(key)

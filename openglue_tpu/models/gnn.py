@@ -284,13 +284,37 @@ class AttentionalPropagation(nn.Module):
         weights = glk.fold_propagation_weights(
             params, variables["batch_stats"], compute_dtype
         )
-        if self.quantize == "int8" and self.attention == "softmax":
+        if self.quantize in ("int8", "int8_static") and self.attention == "softmax":
             from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
 
             qweights = gli8.quantize_propagation_weights(weights)
+            act_scales = None
+            if self.quantize == "int8_static":
+                # static-scale PTQ: per-tensor activation scales live in the
+                # "int8_calib" collection. Calibration = one apply with
+                # mutable=["int8_calib"] on representative batches (running
+                # max across calls); serving then skips every in-kernel
+                # absmax reduction (~0.8 ms/batch at the serving headline —
+                # BASELINE.md round-3 int8 disposition).
+                calib = self.variable(
+                    "int8_calib", "act_absmax",
+                    lambda: jnp.zeros((5,), jnp.float32),
+                )
+                if self.is_mutable_collection("int8_calib"):
+                    absmax = gli8.reference_activation_absmax(
+                        desc_q, desc_kv, kv_mask, qweights,
+                        num_heads=self.num_heads, use_offset=self.use_offset,
+                    )
+                    calib.value = jnp.maximum(calib.value, absmax)
+                    # the calibration pass serves through the dynamic path
+                else:
+                    # 10% headroom absorbs mild calibration/serving drift;
+                    # out-of-range values saturate (standard symmetric PTQ)
+                    act_scales = calib.value * (1.1 / 127.0) + 1e-12
             return gli8.fused_attention_propagation_int8(
                 desc_q, desc_kv, kv_mask, qweights,
                 num_heads=self.num_heads, use_offset=self.use_offset,
+                act_scales=act_scales,
             )
         return glk.fused_attention_propagation(
             desc_q, desc_kv, kv_mask, weights,

@@ -127,24 +127,36 @@ def _qdot(xi8, sx, w_i8, sw, bias):
 
 
 def _layer_kernel_int8(
-    x_q_ref, x_kv_ref, mask_ref,
+    x_q_ref, x_kv_ref, mask_ref, act_scales_ref,
     wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref, wv_ref, sv_ref, bv_ref,
     wo_ref, so_ref, bo_ref, w1_ref, s1_ref, b1_ref, a1_ref, c1_ref,
     w2_ref, s2_ref, b2_ref,
     out_ref,
     k_scratch, v_scratch,
     *, num_heads: int, use_offset: bool, scale: float, attn_dtype,
+    static_scales: bool = False,
 ):
     """Same structure as gnn_layer_kernel._layer_kernel (softmax attention):
     grid (batch, query blocks); K/V projected once per batch element into
-    VMEM scratch at the first block. All six dense matmuls run int8."""
+    VMEM scratch at the first block. All six dense matmuls run int8.
+
+    ``static_scales``: per-tensor activation scales calibrated OFFLINE
+    (act_scales_ref row order: kv, xq, attn, cat, h1) replace the per-row
+    absmax quantization — the absmax reduce disappears and the round/clip
+    fuses into the producing epilogue. The dynamic per-row path pays ~0.8
+    ms/batch in these VPU passes at the serving headline (BASELINE.md
+    round-3 int8 disposition: ceiling probe 1,455 vs dynamic 1,353 pairs/s)."""
     import os
 
-    _quant_rows = (
-        _quant_rows_ceiling
-        if os.environ.get("OPENGLUE_INT8_CEILING")
-        else globals()["_quant_rows"]
-    )
+    if static_scales:
+        def _quant_rows(x, site):
+            s = act_scales_ref[site, 0]
+            xi8 = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
+            return xi8, s
+    elif os.environ.get("OPENGLUE_INT8_CEILING"):
+        _quant_rows = lambda x, site: _quant_rows_ceiling(x)
+    else:
+        _quant_rows = lambda x, site: globals()["_quant_rows"](x)
     i = pl.program_id(1)
     dim = wq_ref.shape[0]
     dh = dim // num_heads
@@ -153,7 +165,7 @@ def _layer_kernel_int8(
     @pl.when(i == 0)
     def _project_kv():
         kv = x_kv_ref[0].astype(jnp.float32)
-        kv_i8, s_kv = _quant_rows(kv)
+        kv_i8, s_kv = _quant_rows(kv, 0)
         k_scratch[...] = _qdot(kv_i8, s_kv, wk_ref[...], sk_ref[...], bk_ref[...]).astype(
             k_scratch.dtype
         )
@@ -162,7 +174,7 @@ def _layer_kernel_int8(
         )
 
     xq = x_q_ref[0].astype(jnp.float32)  # [BQ, D]
-    xq_i8, s_xq = _quant_rows(xq)
+    xq_i8, s_xq = _quant_rows(xq, 1)
     q = _qdot(xq_i8, s_xq, wq_ref[...], sq_ref[...], bq_ref[...]).astype(attn_dtype)
 
     head_outs = []
@@ -185,16 +197,16 @@ def _layer_kernel_int8(
         head_outs.append(o / denom)
     attn = jnp.concatenate(head_outs, axis=1)  # [BQ, D] f32
 
-    attn_i8, s_attn = _quant_rows(attn)
+    attn_i8, s_attn = _quant_rows(attn, 2)
     msg = _qdot(attn_i8, s_attn, wo_ref[...], so_ref[...], bo_ref[...])
     if use_offset:
         cat = jnp.concatenate([xq - msg, msg], axis=1)
     else:
         cat = jnp.concatenate([xq, msg], axis=1)  # [BQ, 2D] f32
-    cat_i8, s_cat = _quant_rows(cat)
+    cat_i8, s_cat = _quant_rows(cat, 3)
     h1 = jax.nn.relu(_qdot(cat_i8, s_cat, w1_ref[...], s1_ref[...], b1_ref[...]))
     h1 = h1 * a1_ref[...] + c1_ref[...]  # folded eval BN, f32
-    h1_i8, s_h1 = _quant_rows(h1)
+    h1_i8, s_h1 = _quant_rows(h1, 4)
     upd = _qdot(h1_i8, s_h1, w2_ref[...], s2_ref[...], b2_ref[...])  # [BQ, D]
     out_ref[0] = (x_q_ref[0].astype(jnp.float32) + upd).astype(out_ref.dtype)
 
@@ -213,20 +225,37 @@ def fused_attention_propagation_int8(
     block_q: Optional[int] = None,
     interpret: Optional[bool] = None,
     attn_dtype: jnp.dtype = jnp.bfloat16,
+    act_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One eval-mode layer, fused, dense matmuls on the int8 MXU path.
     x_q [B, N, D], x_kv [B, M, D], kv_mask [B, M] bool or None -> [B, N, D].
     Softmax attention only (the linear variant's O(N) aggregates are already
-    MXU-cheap; its bottleneck is the feature map, not the dense chain)."""
+    MXU-cheap; its bottleneck is the feature map, not the dense chain).
+
+    ``act_scales``: optional [5] f32 per-tensor activation scales
+    (kv, xq, attn, cat, h1 — from calibrate: reference_activation_absmax/127)
+    switching the kernel to static-scale PTQ quantization (no in-kernel
+    absmax reductions)."""
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    static_scales = act_scales is not None
+    if static_scales:
+        scales_pad = jnp.zeros((8, 128), jnp.float32)
+        scales_pad = scales_pad.at[:5, 0].set(act_scales.astype(jnp.float32))
+    else:
+        scales_pad = jnp.zeros((8, 128), jnp.float32)
 
     if block_q is None:
         # same adaptive policy as the bf16 layer kernel (gnn_layer_kernel)
         block_q = 1024 if batch <= 16 else 512
     if m > 1024:
+        block_q = min(block_q, 512)
+    if static_scales:
+        # the static-scale variant's liveness is ~1% past the 16M scoped VMEM
+        # limit at block_q=1024 (measured Mosaic stack OOM by 152K at
+        # B=16 N=1024); one notch down fits with headroom
         block_q = min(block_q, 512)
     block_q = min(block_q, _round_up(n, 128))
     n_pad = _round_up(n, block_q)
@@ -253,6 +282,7 @@ def fused_attention_propagation_int8(
         use_offset=use_offset,
         scale=(dim // num_heads) ** -0.5,
         attn_dtype=attn_dtype,
+        static_scales=static_scales,
     )
     scratch = [
         pltpu.VMEM((m_pad, dim), attn_dtype),
@@ -265,6 +295,7 @@ def fused_attention_propagation_int8(
             pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            const(scales_pad),
             *weight_specs,
         ],
         out_specs=pl.BlockSpec(
@@ -278,7 +309,7 @@ def fused_attention_propagation_int8(
             bytes_accessed=(x_q.size + x_kv.size + x_q.size) * x_q.dtype.itemsize,
             transcendentals=batch * n_pad * m_pad,
         ),
-    )(x_q, x_kv, mask, *_weights_in_call_order(weights))
+    )(x_q, x_kv, mask, scales_pad, *_weights_in_call_order(weights))
     return out[:, :n]
 
 
@@ -290,28 +321,42 @@ def xla_reference_layer_int8(
     num_heads: int,
     use_offset: bool = False,
     attn_dtype: jnp.dtype = jnp.bfloat16,
-) -> jnp.ndarray:
+    act_scales: Optional[jnp.ndarray] = None,
+    collect_absmax: bool = False,
+):
     """Identical quantized math in plain XLA — the kernel's parity oracle and
-    the int8 fallback off-TPU."""
+    the int8 fallback off-TPU.
+
+    ``act_scales`` [5] f32 (kv, xq, attn, cat, h1): static per-tensor
+    quantization, mirroring the kernel's static_scales mode.
+    ``collect_absmax``: also return the [5] per-site input absmaxes — the
+    calibration pass for the static mode (reference_activation_absmax)."""
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
     dh = dim // num_heads
+    absmaxes = [None] * 5
 
-    def quant_rows(x):
-        sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + _EPS
+    def quant_rows(x, site):
+        x = x.astype(jnp.float32)
+        if collect_absmax:
+            absmaxes[site] = jnp.max(jnp.abs(x))
+        if act_scales is not None:
+            sx = act_scales[site]
+        else:
+            sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + _EPS
         return jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8), sx
 
-    def qdense(x, wi8, sw, bias):
-        xi8, sx = quant_rows(x.astype(jnp.float32))
+    def qdense(x, site, wi8, sw, bias):
+        xi8, sx = quant_rows(x, site)
         acc = jax.lax.dot_general(
             xi8, wi8, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         return acc.astype(jnp.float32) * (sx * sw[None]) + bias[None]
 
-    q = qdense(x_q, w.wq, w.sq, w.bq).astype(attn_dtype)
-    k = qdense(x_kv, w.wk, w.sk, w.bk).astype(attn_dtype)
-    v = qdense(x_kv, w.wv, w.sv, w.bv).astype(attn_dtype)
+    q = qdense(x_q, 1, w.wq, w.sq, w.bq).astype(attn_dtype)
+    k = qdense(x_kv, 0, w.wk, w.sk, w.bk).astype(attn_dtype)
+    v = qdense(x_kv, 0, w.wv, w.sv, w.bv).astype(attn_dtype)
 
     def split(x):
         return x.reshape(batch, -1, num_heads, dh).transpose(0, 2, 1, 3)
@@ -326,10 +371,30 @@ def xla_reference_layer_int8(
     o = o / denom
     attn = o.transpose(0, 2, 1, 3).reshape(batch, n, dim)
 
-    msg = qdense(attn, w.wo, w.so, w.bo)
+    msg = qdense(attn, 2, w.wo, w.so, w.bo)
     xq = x_q.astype(jnp.float32)
     cat = jnp.concatenate([xq - msg if use_offset else xq, msg], axis=-1)
-    h1 = jax.nn.relu(qdense(cat, w.w1, w.s1, w.b1))
+    h1 = jax.nn.relu(qdense(cat, 3, w.w1, w.s1, w.b1))
     h1 = h1 * w.a1[None] + w.c1[None]
-    upd = qdense(h1, w.w2, w.s2, w.b2)
-    return (xq + upd).astype(x_q.dtype)
+    upd = qdense(h1, 4, w.w2, w.s2, w.b2)
+    out = (xq + upd).astype(x_q.dtype)
+    if collect_absmax:
+        return out, jnp.stack(absmaxes)
+    return out
+
+
+def reference_activation_absmax(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    w: QuantPropagationWeights,
+    num_heads: int,
+    use_offset: bool = False,
+) -> jnp.ndarray:
+    """Calibration pass for static-scale PTQ: run the dynamically-quantized
+    reference forward and return the [5] per-site activation absmaxes
+    (kv, xq, attn, cat, h1). Static scales = absmax * headroom / 127."""
+    _, absmax = xla_reference_layer_int8(
+        x_q, x_kv, kv_mask, w, num_heads, use_offset, collect_absmax=True
+    )
+    return absmax

@@ -279,6 +279,46 @@ class TestExtractAndInference:
             kp_base = {tuple(np.round(k, 3)) for k in base["keypoints0"]}
             assert all(tuple(np.round(k, 3)) in kp_base for k in res_b["keypoints0"])
 
+        # static-scale PTQ serving (superglue.quantize: int8_static): the
+        # first match calibrates (records int8_calib absmaxes), later matches
+        # serve with static scales and reproduce the first-match results.
+        # (force_fused_dispatch: at 256 kpts the measured shape gate routes to
+        # XLA; the flow under test is the calibrate-then-serve plumbing.)
+        import yaml as _yaml
+
+        from openglue_tpu.ops.pallas import force_fused_dispatch
+
+        cfg_file = exp / "config.yaml"
+        cfg = _yaml.safe_load(cfg_file.read_text())
+        cfg["superglue"]["quantize"] = "int8_static"
+        cfg["superglue"]["use_pallas"] = True
+        cfg_file.write_text(_yaml.safe_dump(cfg))
+        static_m = initialize_matcher(exp, target_size=(320, 240))
+        force_fused_dispatch(True)
+        try:
+            with pytest.raises(RuntimeError, match="uncalibrated"):
+                static_m.precompile(num_keypoints=256)
+            run_inference(static_m, img_dir / "a.png", img_dir / "b.png", ransac=False)
+            assert any("int8_calib" in k for k in static_m.variables)
+            second = run_inference(
+                static_m, img_dir / "a.png", img_dir / "b.png", ransac=False
+            )
+            # calibrated static path vs the f32 run: matched pairs must agree
+            # on the overwhelming majority of keypoints
+            base_map = dict(zip(base["indices0"], base["indices1"]))
+            agree = sum(
+                1 for i0, i1 in zip(second["indices0"], second["indices1"])
+                if base_map.get(i0) == i1
+            )
+            assert agree >= 0.9 * max(len(second["indices0"]), 1)
+            # calibrated AOT precompile now works
+            static_m.precompile(num_keypoints=256)
+        finally:
+            force_fused_dispatch(False)
+        cfg["superglue"].pop("quantize")
+        cfg["superglue"].pop("use_pallas")
+        cfg_file.write_text(_yaml.safe_dump(cfg))
+
 
 class TestBucketTrimPad:
     def test_to_bucket_trims_valid_first_and_pads(self):

@@ -682,6 +682,96 @@ class TestInt8FusedGNNLayer:
         agreement = float(jnp.mean(m_ref == m_int8))
         assert agreement >= 0.97, f"decode agreement {agreement:.4f}"
 
+    def test_static_scales_match_xla_static_oracle(self):
+        """Static-scale PTQ kernel vs the XLA reference in static mode —
+        identical quantized math given the same [5] activation scales."""
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        _, qw = self._qweights(dim)
+        absmax = gli8.reference_activation_absmax(x_q, x_kv, mask, qw, heads)
+        scales = absmax * (1.1 / 127.0) + 1e-12
+        ref = gli8.xla_reference_layer_int8(
+            x_q, x_kv, mask, qw, heads, act_scales=scales
+        )
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_kv, mask, qw, num_heads=heads, block_q=32, act_scales=scales
+        )
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.015, f"static kernel-vs-oracle relative error {rel:.4f}"
+
+    def test_static_scales_error_bounded_vs_f32(self):
+        """Per-tensor static quantization is coarser than per-row dynamic —
+        bound its error against the f32 layer too."""
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 4
+        x_q = rand(1, 2, 96, dim)
+        w, qw = self._qweights(dim, seed=3)
+        absmax = gli8.reference_activation_absmax(x_q, x_q, None, qw, heads)
+        scales = absmax * (1.1 / 127.0) + 1e-12
+        ref = glk.xla_reference_layer(x_q, x_q, None, w, heads, False)
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_q, None, qw, num_heads=heads, block_q=32, act_scales=scales
+        )
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.05, f"static int8 relative error {rel:.4f}"
+
+    @pytest.mark.slow
+    def test_model_int8_static_calibrate_then_decode_agreement(self):
+        """End-to-end static-scale PTQ flow: calibrate (mutable int8_calib
+        apply) -> serve with static scales -> decode agreement vs f32."""
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.matching import decode_matches
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train.step import superglue_inputs
+
+        def model(quantize):
+            return SuperGlue(
+                SuperGlueConfig(
+                    descriptor_dim=64,
+                    pe_hidden_layers_sizes=(32,),
+                    side_info_size=1,
+                    num_stages=2,
+                    num_heads=4,
+                    otp_num_iters=8,
+                    residual=True,
+                    use_pallas=True,
+                    quantize=quantize,
+                )
+            )
+
+        gen = SyntheticHomographyPairs(num_keypoints=512, descriptor_dim=64)
+        batch = gen.sample(jax.random.key(0), 2)
+        inputs = superglue_inputs(batch, train=False)
+        variables = model(None).init(jax.random.key(1), **inputs)
+
+        # calibration pass: records per-layer activation absmaxes
+        _, calib = model("int8_static").apply(
+            variables, **inputs, mutable=["int8_calib"]
+        )
+        calibrated = {**variables, **dict(calib)}
+        leaves = jax.tree_util.tree_leaves(calib["int8_calib"])
+        assert leaves and all(bool((l > 0).all()) for l in leaves)
+
+        def matches(quantize, v):
+            scores = model(quantize).apply(v, **inputs)["scores"]
+            return decode_matches(
+                scores, mask0=batch.side0.mask, mask1=batch.side1.mask
+            )["matches0"]
+
+        m_ref = matches(None, variables)
+        m_static = matches("int8_static", calibrated)
+        agreement = float(jnp.mean(m_ref == m_static))
+        assert agreement >= 0.97, f"static decode agreement {agreement:.4f}"
+
 
 class TestFusedFAVORLayer:
     """FAVOR-relu / FAVOR-softmax through the fused whole-layer kernel
