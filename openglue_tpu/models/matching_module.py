@@ -125,8 +125,29 @@ class MatchingModule(nn.Module):
         h, w = image0.shape[1:3] if image0.ndim >= 3 else image0.shape
         image_size = jnp.asarray([image0.shape[2], image0.shape[1]], jnp.float32)
 
-        feats0 = self.extract(image0, train)
-        feats1 = self.extract(image1, train)
+        import os
+
+        extractor_trains = train and self.config.finetune
+        if (
+            extractor_trains
+            or image0.shape != image1.shape
+            or os.environ.get("OPENGLUE_NO_FUSED_EXTRACT")  # bench A/B escape
+        ):
+            # training BatchNorm statistics must see each image batch
+            # separately (reference matching_module.py:71-79 calls the
+            # extractor once per side) — keep two calls for exact parity
+            feats0 = self.extract(image0, train)
+            feats1 = self.extract(image1, train)
+        else:
+            # frozen/eval extractor: one 2B-batch CNN forward instead of two
+            # B-batch forwards (same math — eval BN is a per-sample affine;
+            # halves kernel launches and doubles conv batch utilization)
+            batch = image0.shape[0]
+            feats = self.extract(
+                jnp.concatenate([image0, image1], axis=0), train
+            )
+            feats0 = jax.tree_util.tree_map(lambda x: x[:batch], feats)
+            feats1 = jax.tree_util.tree_map(lambda x: x[batch:], feats)
         side0 = features_to_keypoint_set(
             feats0, self._laf_converter, image_size, log_response=self.config.log_response
         )
