@@ -112,8 +112,12 @@ class OpenGlueMatcher:
                 "pair first (the first match_images call calibrates), then "
                 "precompile"
             )
+        # Anything non-iterable is a single count (covers numpy integer
+        # scalars, which are not Python ints but must not be iterated).
         counts = (
-            (num_keypoints,) if isinstance(num_keypoints, int) else tuple(num_keypoints)
+            tuple(int(k) for k in num_keypoints)
+            if hasattr(num_keypoints, "__iter__")
+            else (int(num_keypoints),)
         )
         d = int(self.features_config["descriptor_dim"])
         s = self.laf_converter.side_info_dim + 1

@@ -53,6 +53,19 @@ def build_dataloaders(config, laf_converter):
     # batch sizes per-batch bucketing alone is a wash because one saturated
     # image drags the batch to the cap.
     bucket_grouping = bool(data.get("bucket_grouping")) and buckets is not None
+    if bucket_grouping and jax.process_count() > 1:
+        # Each host's regrouper would pick batch shapes (bucket N) and batch
+        # counts from its own local sample stream, but the DP assembly
+        # (parallel/mesh.py make_array_from_process_local_data) requires
+        # identical local shapes on every process at each step — divergent
+        # buckets deadlock the collectives. Until the bucket choice is
+        # synchronized across hosts, refuse loudly rather than hang.
+        raise NotImplementedError(
+            "data.bucket_grouping is single-host only: hosts would pick "
+            "divergent bucket shapes/batch counts and deadlock the DP "
+            "collectives. Use data.buckets (per-batch bucketing, shape-"
+            "deterministic given the global batch) or disable grouping."
+        )
     global_batch = int(data["batch_size"])
     start, stop = local_batch_slice(global_batch)
     local_batch = stop - start
@@ -86,7 +99,7 @@ def build_dataloaders(config, laf_converter):
     )
     workers = int(data.get("dataloader_workers", 2))
 
-    def make_loader(ds, collate, sampler):
+    def make_loader(ds, collate, sampler, drop_last=True):
         if not bucket_grouping:
             return DataLoader(
                 ds, batch_size=local_batch, collate_fn=collate,
@@ -103,15 +116,20 @@ def build_dataloaders(config, laf_converter):
         )
         samples = (s for chunk in chunks for s in chunk)
         return BucketGroupedBatches(
-            samples, batch_size=local_batch, buckets=buckets, collate_fn=collate
+            samples, batch_size=local_batch, buckets=buckets,
+            collate_fn=collate, drop_last=drop_last,
         )
 
     train_loader = make_loader(
         train_ds, train_collate,
         iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
     )
+    # drop_last=False for validation: the ungrouped val DataLoader keeps the
+    # trailing partial batch, so the grouped path must too — val metrics must
+    # not change based on a throughput flag.
     val_loader_fn = lambda: make_loader(
-        val_ds, val_collate, iter(ShardedSequentialSampler(len(val_ds)))
+        val_ds, val_collate, iter(ShardedSequentialSampler(len(val_ds))),
+        drop_last=False,
     )
     return train_loader, val_loader_fn
 
@@ -161,6 +179,24 @@ def main(argv=None):
     init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b)))
     variables = init(jax.random.key(0), first)
     jax.block_until_ready(variables)
+    # superglue.weights: warm-start just the matcher (reference
+    # superglue.py:25-27 / config_cached_sp_magicleap.yaml): .pth/.pt loads a
+    # torch SuperGlue state dict through the converter, anything else the
+    # save_weights npz tree.
+    warm_start = config.get("superglue.weights")
+    if warm_start:
+        if str(warm_start).endswith((".pth", ".pt")):
+            import torch
+
+            from openglue_tpu.compat.torch_weights import superglue_params_from_torch
+
+            sd = torch.load(warm_start, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+            variables = superglue_params_from_torch(sd, sg_config)
+        else:
+            from openglue_tpu.train.checkpoint import load_weights
+
+            variables = load_weights(warm_start, variables)
     warmup_steps = int(config.get("train.warmup_steps", 0))
     tx = None
     if warmup_steps > 0:
@@ -180,8 +216,12 @@ def main(argv=None):
         gradient_clip=float(config.get("train.grad_clip", 10.0)),
         tx=tx,
     )
-    if args.checkpoint:
-        state = restore_train_state(args.checkpoint, state)
+    # Full train-state resume: CLI flag wins; the config's top-level
+    # `checkpoint:` field is the in-config resume example the reference ships
+    # (config_cached_sp_magicleap.yaml:73, consumed at train.py:83-85).
+    resume_from = args.checkpoint or config.get("checkpoint")
+    if resume_from:
+        state = restore_train_state(resume_from, state)
 
     mesh, shard_batch, shard_train_step, shard_eval_step = common.build_mesh_and_sharding()
     raw_step = make_train_step(common.loss_config_from(config))

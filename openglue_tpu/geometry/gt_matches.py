@@ -28,7 +28,12 @@ from openglue_tpu.geometry.transforms import cdist_sq, reproject_keypoints
 UNMATCHED_INDEX = -1
 IGNORE_INDEX = -2
 
-_BIG = 1e9
+# Masked-target sentinel for the SQUARED-distance matrices: +inf dominates
+# any real squared reprojection error (1e9 would not — a depth-valid but
+# extreme reprojection beyond ~31.6k px could out-argmin a padded column).
+# inf flows safely through min/argmin/sqrt/threshold-compares (no gradients
+# pass through this integer-label path).
+_BIG = float("inf")
 
 
 def generate_gt_matches(

@@ -154,6 +154,19 @@ def _layer_kernel_int8(
             xi8 = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
             return xi8, s
     elif os.environ.get("OPENGLUE_INT8_CEILING"):
+        # Loud and unmissable: a leftover exported var from a ceiling-probe
+        # shell would otherwise silently corrupt every dynamic int8 inference
+        # traced in this environment (the env var is read at TRACE time, so
+        # jit caches built under it stay wrong even after it is unset).
+        import warnings
+
+        warnings.warn(
+            "OPENGLUE_INT8_CEILING is set: the int8 GNN layer is being traced "
+            "with the NUMERICALLY WRONG constant-scale perf-ceiling probe. "
+            "Results are garbage; unset the variable (and discard any jit "
+            "caches traced under it) for real inference.",
+            stacklevel=2,
+        )
         _quant_rows = lambda x, site: _quant_rows_ceiling(x)
     else:
         _quant_rows = lambda x, site: globals()["_quant_rows"](x)

@@ -126,6 +126,95 @@ class TestTrainCachedCLI:
         assert (exp_dirs[0] / "checkpoints").exists()
 
 
+class TestExperimentConfigFields:
+    """The reference's concrete-experiment config fields (analog of
+    config_cached_sp_magicleap.yaml): `superglue.weights` matcher warm-start
+    and top-level `checkpoint:` full resume, plus the shipped preset file."""
+
+    def _base_config(self, tmp_path):
+        make_megadepth_fixture(tmp_path, pairs_per_scene=10)
+        feat_dir = tmp_path / "features_cache"
+        write_yaml(
+            feat_dir / "config.yaml",
+            {"name": "OPENCV_SIFT", "descriptor_dim": 32, "parameters": {}},
+        )
+        (tmp_path / "train_list.txt").write_text("scene_a\nscene_b\n")
+        (tmp_path / "val_list.txt").write_text("scene_a\n")
+        return {
+            "data": {
+                "root_path": str(tmp_path),
+                "train_list_path": "train_list.txt",
+                "val_list_path": "val_list.txt",
+                "features_dir": "features_cache",
+                "max_keypoints": 64,
+                "batch_size": 8,
+                "dataloader_workers": 0,
+                "target_size": list(TARGET_CACHED),
+                "val_max_pairs_per_scene": 2,
+                "train_pairs_overlap": None,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "t", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 2, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 5,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+            },
+            "evaluation": {"epipolar_dist_threshold": 5.0e-4, "camera_auc_thresholds": [5, 10, 20],
+                           "camera_auc_ransac_inliers_threshold": 1.0},
+            "inference": {"match_threshold": 0.2},
+            "superglue": dict(SMALL_SUPERGLUE),
+        }
+
+    def test_weights_warmstart_and_config_checkpoint_resume(self, tmp_path):
+        from openglue_tpu.cli import train_cached
+        from openglue_tpu.train.checkpoint import save_weights
+
+        config = self._base_config(tmp_path)
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, config)
+        state = train_cached.main(["--config", str(cfg_path)])
+        assert int(state.step) == 2
+        ckpt_dir = next((tmp_path / "logs" / "t").iterdir()) / "checkpoints"
+        assert ckpt_dir.exists()
+
+        # Matcher warm-start from an npz weights tree (superglue.weights).
+        weights_path = tmp_path / "warm.npz"
+        variables = {"params": state.params, **dict(state.model_state)}
+        save_weights(weights_path, variables)
+        config2 = self._base_config(tmp_path)
+        config2["superglue"]["weights"] = str(weights_path)
+        cfg2 = tmp_path / "cfg_warm.yaml"
+        write_yaml(cfg2, config2)
+        state2 = train_cached.main(["--config", str(cfg2)])
+        assert int(state2.step) == 2  # warm-start does NOT restore the step
+
+        # Full resume via the config's top-level checkpoint: field.
+        config3 = self._base_config(tmp_path)
+        config3["checkpoint"] = str(ckpt_dir)
+        cfg3 = tmp_path / "cfg_resume.yaml"
+        write_yaml(cfg3, config3)
+        state3 = train_cached.main(["--config", str(cfg3)])
+        assert int(state3.step) == 4  # resumed at 2, trained 2 more
+
+    def test_shipped_preset_parses(self):
+        from pathlib import Path
+
+        from openglue_tpu.cli import common
+        from openglue_tpu.features.lafs import get_laf_to_sideinfo_converter
+
+        path = Path(__file__).resolve().parents[1] / "configs" / "config_cached_sp_magicleap.yaml"
+        config = common.load_merged_config(str(path))
+        laf = get_laf_to_sideinfo_converter(config.get("superglue.laf_to_sideinfo_method", "none"))
+        sg = common.superglue_config_from(config, 256, laf.side_info_dim)
+        assert sg.num_stages == 9 and sg.descriptor_dim == 256
+        # The reference preset's distinguishing fields exist in the schema
+        # (commented examples in the shipped file; active consumption is
+        # covered by test_weights_warmstart_and_config_checkpoint_resume).
+        text = path.read_text()
+        assert "weights:" in text and "checkpoint:" in text
+
+
 @pytest.mark.slow
 class TestPretrainHomographyCLI:
     def test_smoke(self, tmp_path):
