@@ -54,6 +54,13 @@ def main():
         help="re-sample FAVOR projections every N epochs (reference redraws "
         "via a Lightning callback, lightning_callbacks.py:10-14); 0 = never",
     )
+    parser.add_argument(
+        "--redraw-anneal-epochs", type=int, default=0,
+        help="stop redrawing FAVOR projections after this epoch (redraw "
+        "annealing, VERDICT r3 #9: a late redraw perturbs the converged "
+        "attention estimate and is the prime suspect for the lr-2e-4 tail "
+        "collapse); 0 = no annealing",
+    )
     parser.add_argument("--seed", type=int, default=1, help="init/data seed")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument(
@@ -135,6 +142,7 @@ def main():
             and args.attention.startswith("favor")
             and epoch
             and epoch % args.redraw_epochs == 0
+            and not (args.redraw_anneal_epochs and epoch > args.redraw_anneal_epochs)
         ):
             state = redraw_favor_projections(state, jax.random.key(777))
         state, losses = train_epoch(

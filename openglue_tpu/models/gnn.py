@@ -177,6 +177,15 @@ class AttentionalPropagation(nn.Module):
         fused = self._fused_layer(desc_q, desc_kv, kv_mask, train)
         if fused is not None:
             return fused
+        z = self._fused_train_half(desc_q, desc_kv, kv_mask, train)
+        if z is not None:
+            # the kernel already did concat + dense_0 + ReLU; finish with the
+            # masked train-mode BatchNorm + dense_1 in XLA (autodiff owns the
+            # batch-statistics gradient) and the residual add
+            update = FeedForwardNet(
+                (2 * self.embed_dim, self.embed_dim), dtype=self.dtype, name="ffn"
+            )(z, mask=q_mask, train=train, skip_to_hidden=True)
+            return desc_q + update
         message = self._fused_message(desc_q, desc_kv, kv_mask, train)
         if message is None:
             message = MultiheadAttention(
@@ -197,6 +206,54 @@ class AttentionalPropagation(nn.Module):
             (2 * self.embed_dim, self.embed_dim), dtype=self.dtype, name="ffn"
         )(message, mask=q_mask, train=train)
         return desc_q + update
+
+    def _fused_train_half(self, desc_q, desc_kv, kv_mask, train):
+        """TRAIN-mode fused layer half (ops/pallas/gnn_layer_kernel.py
+        fused_train_layer_half): q/k/v/out projections + masked softmax
+        attention + the FFN's dense_0+ReLU in one kernel, returning the
+        pre-BatchNorm hidden z. The BN (batch statistics) + dense_1 +
+        residual stay in XLA. Returns None when not routed."""
+        if (
+            self.attention != "softmax"
+            or not self.use_pallas
+            or self.ring_axis is not None
+            or not train
+            or self.is_initializing()
+        ):
+            return None
+        import os
+
+        if os.environ.get("OPENGLUE_NO_FUSED_MESSAGE") or os.environ.get(
+            "OPENGLUE_FUSED_MESSAGE_ONLY"
+        ):
+            # bench/debug escapes (read at trace time, for A/B measurement
+            # subprocesses): NO_FUSED_MESSAGE = fully composed train path;
+            # FUSED_MESSAGE_ONLY = round-3 attention-half-only kernel
+            return None
+        from openglue_tpu.ops.pallas import use_pallas_for_shape
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        if not use_pallas_for_shape(desc_q.shape[1], desc_kv.shape[1]):
+            return None
+        params = self.variables.get("params", {})
+        if "mha" not in params or "ffn" not in params:
+            return None
+        if "dense_0" not in params["ffn"]:
+            return None
+        weights = glk.extract_message_weights(params["mha"])
+        d0 = params["ffn"]["dense_0"]
+        compute_dtype = self.dtype or desc_q.dtype
+        return glk.fused_train_layer_half(
+            desc_q.astype(compute_dtype),
+            desc_kv.astype(compute_dtype),
+            kv_mask,
+            weights,
+            d0["kernel"],
+            d0["bias"].astype(jnp.float32).reshape(1, -1),
+            num_heads=self.num_heads,
+            use_offset=self.use_offset,
+            compute_dtype=compute_dtype,
+        )
 
     def _fused_message(self, desc_q, desc_kv, kv_mask, train):
         """TRAIN-mode fused attention half (ops/pallas/gnn_layer_kernel.py

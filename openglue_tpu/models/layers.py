@@ -123,12 +123,19 @@ class FeedForwardNet(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         train: bool = False,
+        skip_to_hidden: bool = False,
     ) -> jnp.ndarray:
+        """``skip_to_hidden``: ``x`` is already the first hidden layer's
+        post-ReLU activation (computed by a fused kernel, e.g.
+        ops.pallas.gnn_layer_kernel.fused_train_layer_half) — start at bn_0.
+        dense_0's params still exist in the tree (created at init by the
+        composed path); they are consumed by the kernel, not here."""
         *hidden, out = self.sizes
         fan_in = x.shape[-1]
         for i, size in enumerate(hidden):
-            x = torch_dense(size, fan_in, dtype=self.dtype, name=f"dense_{i}")(x)
-            x = jax.nn.relu(x)
+            if not (skip_to_hidden and i == 0):
+                x = torch_dense(size, fan_in, dtype=self.dtype, name=f"dense_{i}")(x)
+                x = jax.nn.relu(x)
             x = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")(x, mask=mask, train=train)
             fan_in = size
         return torch_dense(out, fan_in, dtype=self.dtype, name=f"dense_{len(hidden)}")(x)

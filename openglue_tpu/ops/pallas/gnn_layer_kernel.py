@@ -482,24 +482,17 @@ def extract_message_weights(mha_params: dict) -> MessageWeights:
     return MessageWeights(wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _message_kernel(
+def _attention_half_body(
     x_q_ref, x_kv_ref, mask_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-    out_ref, *rest,
-    num_heads: int, scale: float, compute_dtype, save_stats: bool = False,
+    k_scratch, v_scratch, lse_ref,
+    *, num_heads: int, scale: float, compute_dtype,
 ):
-    """Attention-half forward: q/k/v projections + masked softmax attention +
-    out projection, one query block per grid step (the first two thirds of
-    _layer_kernel — the training path keeps the FFN/BatchNorm half in XLA
-    because train-mode BN needs cross-grid batch statistics).
-
-    ``save_stats`` (the custom_vjp forward): also emit the pre-out-projection
-    attention output and the per-row log-sum-exp so the backward kernel skips
-    the P·V recompute and the softmax max/sum reductions."""
-    if save_stats:
-        attn_ref, lse_ref, k_scratch, v_scratch = rest
-    else:
-        k_scratch, v_scratch = rest
+    """Shared attention-half body of the train-path kernels: K/V projection
+    into scratch at the first query block, q projection + per-head masked
+    softmax attention + out projection for the current block. Returns
+    (xq compute-dtype, attn [BQ, D] compute-dtype, msg [BQ, D] f32); writes
+    the per-row log-sum-exp into ``lse_ref`` when given (custom_vjp fwd)."""
     i = pl.program_id(1)
     dim = wq_ref.shape[0]
     dh = dim // num_heads
@@ -533,13 +526,82 @@ def _message_kernel(
         denom = jnp.sum(p, axis=1, keepdims=True)
         o = _dot(p.astype(compute_dtype), v_scratch[:, sl])  # [BQ, dh] f32
         head_outs.append(o / denom)
-        if save_stats:
+        if lse_ref is not None:
             lse_ref[0, h] = (m + jnp.log(denom))[:, 0]
     attn = jnp.concatenate(head_outs, axis=1).astype(compute_dtype)
+    msg = _dot(attn, wo_ref[...].astype(compute_dtype)) + bo_ref[...]
+    return xq, attn, msg
+
+
+def _message_kernel(
+    x_q_ref, x_kv_ref, mask_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    out_ref, *rest,
+    num_heads: int, scale: float, compute_dtype, save_stats: bool = False,
+):
+    """Attention-half forward: q/k/v projections + masked softmax attention +
+    out projection, one query block per grid step (the first two thirds of
+    _layer_kernel — the training path keeps the FFN/BatchNorm half in XLA
+    because train-mode BN needs cross-grid batch statistics).
+
+    ``save_stats`` (the custom_vjp forward): also emit the pre-out-projection
+    attention output and the per-row log-sum-exp so the backward kernel skips
+    the P·V recompute and the softmax max/sum reductions."""
+    if save_stats:
+        attn_ref, lse_ref, k_scratch, v_scratch = rest
+    else:
+        lse_ref = None
+        k_scratch, v_scratch = rest
+    _, attn, msg = _attention_half_body(
+        x_q_ref, x_kv_ref, mask_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+        k_scratch, v_scratch, lse_ref,
+        num_heads=num_heads, scale=scale, compute_dtype=compute_dtype,
+    )
     if save_stats:
         attn_ref[0] = attn.astype(attn_ref.dtype)
-    msg = _dot(attn, wo_ref[...].astype(compute_dtype)) + bo_ref[...]
     out_ref[0] = msg.astype(out_ref.dtype)
+
+
+def _train_half_kernel(
+    x_q_ref, x_kv_ref, mask_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    w1_ref, b1_ref,
+    z_ref, *rest,
+    num_heads: int, scale: float, compute_dtype, use_offset: bool,
+    save_stats: bool = False,
+):
+    """Train-path layer half: attention message + the FFN's first dense+ReLU
+    fused in one kernel. Emits ``z = relu(concat[x_q, msg] @ w1 + b1)`` — the
+    pre-BatchNorm hidden — so the XLA continuation is just the masked batch
+    statistics, the per-channel affine, and the final dense (reference FFN
+    order Dense -> ReLU -> BN -> Dense, models/utils.py:48-58). The concat
+    never materializes in HBM and dense_0 reads its operands from VMEM.
+
+    ``save_stats``: also emit msg (to rebuild the concat in the backward),
+    the pre-out-projection attention output and per-row LSE (consumed by
+    _message_bwd_kernel)."""
+    if save_stats:
+        msg_ref, attn_ref, lse_ref, k_scratch, v_scratch = rest
+    else:
+        lse_ref = None
+        k_scratch, v_scratch = rest
+    xq, attn, msg = _attention_half_body(
+        x_q_ref, x_kv_ref, mask_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+        k_scratch, v_scratch, lse_ref,
+        num_heads=num_heads, scale=scale, compute_dtype=compute_dtype,
+    )
+    msg_c = msg.astype(compute_dtype)
+    if save_stats:
+        attn_ref[0] = attn.astype(attn_ref.dtype)
+        msg_ref[0] = msg_c.astype(msg_ref.dtype)
+    if use_offset:
+        cat = jnp.concatenate([xq - msg_c, msg_c], axis=1)
+    else:
+        cat = jnp.concatenate([xq, msg_c], axis=1)  # [BQ, 2D]
+    z = jax.nn.relu(_dot(cat, w1_ref[...].astype(compute_dtype)) + b1_ref[...])
+    z_ref[0] = z.astype(z_ref.dtype)
 
 
 def _message_bwd_kernel(
@@ -885,6 +947,195 @@ def xla_reference_message(
     out = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dtype), split(v))
     attn = out.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(dtype)
     return dense(attn, w.wo, w.bo)
+
+
+def _train_half_forward(
+    x_q, x_kv, maskf, w: MessageWeights, w1, b1, num_heads, use_offset,
+    block_q, interpret, compute_dtype=None, save_stats: bool = False,
+):
+    batch, n, dim = x_q.shape
+    m = x_kv.shape[1]
+    hidden = w1.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    compute_dtype = jnp.dtype(compute_dtype or x_q.dtype)
+    block_q, n_pad, m_pad = _message_shapes(n, m, block_q)
+
+    if n_pad != n:
+        x_q = jnp.pad(x_q, ((0, 0), (0, n_pad - n), (0, 0)))
+    if m_pad != m:
+        x_kv = jnp.pad(x_kv, ((0, 0), (0, m_pad - m), (0, 0)))
+    mask = jnp.ones((batch, m), jnp.float32) if maskf is None else maskf
+    mask = jnp.pad(mask, ((0, 0), (0, m_pad - m)))[:, None, :]
+
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _train_half_kernel,
+        num_heads=num_heads,
+        scale=(dim // num_heads) ** -0.5,
+        compute_dtype=compute_dtype,
+        use_offset=use_offset,
+        save_stats=save_stats,
+    )
+    blk = lambda cols: pl.BlockSpec(
+        (1, block_q, cols), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = blk(hidden)
+    out_shape = jax.ShapeDtypeStruct((batch, n_pad, hidden), compute_dtype)
+    if save_stats:
+        out_specs = (
+            out_specs,
+            blk(dim),
+            blk(dim),
+            pl.BlockSpec((1, num_heads, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype),
+            jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, n_pad), jnp.float32),
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, n_pad // block_q),
+        in_specs=[
+            blk(dim),
+            pl.BlockSpec((1, m_pad, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            *(const(*t.shape) for t in w),
+            const(*w1.shape),
+            const(*b1.shape),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+            pltpu.VMEM((m_pad, dim), compute_dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=batch
+            * (8 * n_pad * dim * dim + 4 * n_pad * m_pad * dim + 4 * n_pad * dim * hidden),
+            bytes_accessed=(2 * x_q.size + x_kv.size) * x_q.dtype.itemsize,
+            transcendentals=batch * n_pad * m_pad,
+        ),
+    )(x_q, x_kv, mask, *w, w1, b1)
+    if save_stats:
+        z, msg, attn, lse = out
+        return z[:, :n], msg[:, :n], attn, lse  # attn/lse stay padded for bwd
+    return out[:, :n]
+
+
+def xla_reference_train_half(
+    x_q, x_kv, kv_mask, w: MessageWeights, w1, b1, num_heads,
+    use_offset: bool = False, compute_dtype=None,
+):
+    """Train-half math (attention message + concat + dense_0 + ReLU) in plain
+    XLA — parity oracle for fused_train_layer_half."""
+    dtype = jnp.dtype(compute_dtype or x_q.dtype)
+    msg = xla_reference_message(x_q, x_kv, kv_mask, w, num_heads, dtype)
+    xq_c = x_q.astype(dtype)
+    cat = jnp.concatenate([xq_c - msg if use_offset else xq_c, msg], axis=-1)
+    s = (
+        jax.lax.dot_general(
+            cat, w1.astype(dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1[None]
+    )
+    return jax.nn.relu(s).astype(dtype)
+
+
+def fused_train_layer_half(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    weights: MessageWeights,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    num_heads: int,
+    use_offset: bool = False,
+    block_q: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Train-path layer half as one fused kernel: attention message AND the
+    FFN's first dense+ReLU, returning ``z = relu(concat[x_q, msg] @ w1 + b1)``
+    [B, N, 2D]. The caller finishes the layer in XLA: masked train-mode
+    BatchNorm on z (batch statistics are two cheap reductions over the
+    materialized z), then dense_1 and the residual add — autodiff handles the
+    BN-statistics gradient there, while this function's custom_vjp handles the
+    fused half: an XLA prologue (ReLU mask, dcat = ds W1', dW1 = cat' ds) that
+    peels the cotangent back to dmsg, then the fused attention backward kernel
+    (_message_bwd_kernel) with its saved attn+lse residuals.
+
+    w1 [2D, 2D] / b1 [1, 2D] in the PARAM dtype (f32); weight cotangents
+    return in full precision. Masks travel as primal float arguments (zero
+    cotangent) so the kernels compose with jax.checkpoint.
+    Reference layer math: models/superglue/attention_gnn.py:36-56 +
+    models/utils.py:48-58 (Dense -> ReLU -> BN -> Dense)."""
+    maskf = None if kv_mask is None else kv_mask.astype(jnp.float32)
+    dim = x_q.shape[-1]
+    cdt = jnp.dtype(compute_dtype or x_q.dtype)
+
+    @jax.custom_vjp
+    def f(x_q, x_kv, w, w1, b1, mk):
+        return _train_half_forward(
+            x_q, x_kv, mk, w, w1, b1, num_heads, use_offset, block_q,
+            interpret, cdt,
+        )
+
+    def f_fwd(x_q, x_kv, w, w1, b1, mk):
+        z, msg, attn, lse = _train_half_forward(
+            x_q, x_kv, mk, w, w1, b1, num_heads, use_offset, block_q,
+            interpret, cdt, save_stats=True,
+        )
+        return z, (x_q, x_kv, w, w1, b1, mk, z, msg, attn, lse)
+
+    def f_bwd(residuals, dz):
+        x_q, x_kv, w, w1, b1, mk, z, msg, attn, lse = residuals
+        # XLA prologue: peel the FFN first half off the cotangent.
+        ds = jnp.where(z > 0, dz.astype(jnp.float32), 0.0)  # [B, N, 2D]
+        ds_c = ds.astype(cdt)
+        dcat = jax.lax.dot_general(
+            ds_c, w1.astype(cdt),
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, N, 2D] = ds @ w1^T
+        d_first, d_second = dcat[..., :dim], dcat[..., dim:]
+        if use_offset:  # cat = [x_q - msg, msg]
+            dxq_direct = d_first
+            dmsg = d_second - d_first
+        else:  # cat = [x_q, msg]
+            dxq_direct = d_first
+            dmsg = d_second
+        xq_c = x_q.astype(cdt)
+        cat = jnp.concatenate([xq_c - msg if use_offset else xq_c, msg], axis=-1)
+        dw1 = jax.lax.dot_general(
+            cat, ds_c,
+            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2D, 2D]
+        db1 = jnp.sum(ds, axis=(0, 1), keepdims=False)[None, :]
+        dxq_attn, dxkv, dw = _message_backward(
+            x_q, x_kv, mk, w, dmsg.astype(cdt), attn, lse, num_heads,
+            block_q, interpret, cdt,
+        )
+        dm = None if mk is None else jnp.zeros_like(mk)
+        return (
+            (dxq_attn.astype(jnp.float32) + dxq_direct).astype(x_q.dtype),
+            dxkv.astype(x_kv.dtype),
+            dw,
+            dw1.astype(w1.dtype),
+            db1.astype(b1.dtype),
+            dm,
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x_q, x_kv, weights, w1, b1, maskf)
 
 
 def fused_attention_message(

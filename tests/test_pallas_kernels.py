@@ -971,6 +971,62 @@ class TestFusedMessageKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+class TestFusedTrainHalf:
+    """Round-4 train-path kernel (fused_train_layer_half): attention message
+    + FFN dense_0+ReLU in one kernel, z out. Forward vs the XLA reference and
+    the custom_vjp (XLA prologue + fused attention backward) vs autodiff."""
+
+    @pytest.mark.parametrize("use_offset", [False, True])
+    def test_forward_matches_xla_reference(self, use_offset):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(11, 2, 96, dim), rand(12, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        w = TestFusedMessageKernel._weights(dim, seed=3)
+        k1, k2 = jax.random.split(jax.random.key(13))
+        w1 = jax.random.normal(k1, (2 * dim, 2 * dim)) / np.sqrt(2 * dim)
+        b1 = jax.random.normal(k2, (1, 2 * dim)) * 0.1
+        ref = glk.xla_reference_train_half(
+            x_q, x_kv, mask, w, w1, b1, heads, use_offset
+        )
+        out = glk.fused_train_layer_half(
+            x_q, x_kv, mask, w, w1, b1, heads, use_offset, block_q=32
+        )
+        assert out.shape == (2, 96, 2 * dim)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    @pytest.mark.parametrize("masked", [False, True])
+    def test_backward_matches_xla(self, masked):
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 64, 4
+        n, m = 72, 56  # unaligned + multiple query blocks
+        x_q, x_kv = rand(17, 2, n, dim), rand(18, 2, m, dim)
+        mask = (
+            jnp.arange(m)[None, :] < jnp.asarray([40, m])[:, None] if masked else None
+        )
+        w = TestFusedMessageKernel._weights(dim, seed=5)
+        k1, k2 = jax.random.split(jax.random.key(19))
+        w1 = jax.random.normal(k1, (2 * dim, 2 * dim)) / np.sqrt(2 * dim)
+        b1 = jax.random.normal(k2, (1, 2 * dim)) * 0.1
+
+        def loss_kernel(a, b, c, d, e):
+            z = glk.fused_train_layer_half(a, b, mask, c, d, e, heads, block_q=32)
+            return jnp.sum(z * jnp.cos(z))
+
+        def loss_ref(a, b, c, d, e):
+            z = glk.xla_reference_train_half(a, b, mask, c, d, e, heads)
+            return jnp.sum(z * jnp.cos(z))
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(x_q, x_kv, w, w1, b1)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x_q, x_kv, w, w1, b1)
+        for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=3e-4
+            )
+
+
 class TestRematComposesWithPallas:
     """jax.checkpoint around a layer whose Pallas custom_vjp takes the mask as
     a primal argument (regression: a closed-over traced mask escaped the
