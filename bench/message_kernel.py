@@ -66,8 +66,35 @@ def main():
         attn = out.transpose(0, 2, 1, 3).reshape(B, N, D).astype(dt)
         return dense(attn, w.wo, w.bo)
 
+    # round-4 train-half: message + FFN dense_0+ReLU in-kernel, vs the same
+    # math as (fused message kernel + XLA dense_0+ReLU) — isolates what the
+    # z-fusion buys/costs per layer half
+    k1, k2 = jax.random.split(ks[10], 2)
+    w1 = jax.random.normal(k1, (2 * D, 2 * D), jnp.float32) / (2 * D) ** 0.5
+    b1 = jax.random.normal(k2, (1, 2 * D), jnp.float32) * 0.1
+
+    def train_half(xq, xkv, w):
+        return glk.fused_train_layer_half(
+            xq, xkv, mask, w, w1, b1, H, compute_dtype=jnp.bfloat16
+        )
+
+    def message_plus_xla_ffn0(xq, xkv, w):
+        msg = glk.fused_attention_message(
+            xq, xkv, mask, w, H, compute_dtype=jnp.bfloat16
+        )
+        cat = jnp.concatenate([xq.astype(jnp.bfloat16), msg], axis=-1)
+        s = jax.lax.dot_general(
+            cat, w1.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1[None]
+        return jax.nn.relu(s).astype(jnp.bfloat16)
+
     results = {}
-    for name, fn in (("fused", fused), ("composed", composed)):
+    for name, fn in (
+        ("fused", fused), ("composed", composed),
+        ("train_half", train_half), ("message_xla_ffn0", message_plus_xla_ffn0),
+    ):
         fwd = lambda xq, f=fn: jnp.sum(f(xq, x_kv, w).astype(jnp.float32))
         s = device_timeit(fwd, x_q, perturb=lambda x, sc: x * sc)
         results[f"{name}_fwd_ms"] = round(s * 1e3, 3)

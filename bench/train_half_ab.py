@@ -71,15 +71,18 @@ def main():
         )
 
     # trace each variant under its env (read at trace time), keep the jits
-    variants = {"train_half": {}}
-    variants["message_only"] = {"OPENGLUE_FUSED_MESSAGE_ONLY": "1"}
+    variants = {"train_half": {"OPENGLUE_TRAIN_HALF": "1"}}
+    variants["message_only"] = {}
     if not args.skip_composed:
         variants["composed"] = {"OPENGLUE_NO_FUSED_MESSAGE": "1"}
 
+    _ROUTE_VARS = (
+        "OPENGLUE_TRAIN_HALF", "OPENGLUE_FUSED_MESSAGE_ONLY",
+        "OPENGLUE_NO_FUSED_MESSAGE",
+    )
     fns = {}
     for name, env in variants.items():
-        saved = {k: os.environ.pop(k, None) for k in (
-            "OPENGLUE_FUSED_MESSAGE_ONLY", "OPENGLUE_NO_FUSED_MESSAGE")}
+        saved = {k: os.environ.pop(k, None) for k in _ROUTE_VARS}
         os.environ.update(env)
         try:
             fns[name] = jax.jit(make_run())

@@ -212,7 +212,14 @@ class AttentionalPropagation(nn.Module):
         fused_train_layer_half): q/k/v/out projections + masked softmax
         attention + the FFN's dense_0+ReLU in one kernel, returning the
         pre-BatchNorm hidden z. The BN (batch statistics) + dense_1 +
-        residual stay in XLA. Returns None when not routed."""
+        residual stay in XLA.
+
+        OPT-IN (env OPENGLUE_TRAIN_HALF, read at trace time): the flagship
+        interleaved A/B measured it a WASH vs the attention-half-only kernel
+        (327 vs 328 pairs/s, bench/train_half_ab.py round 4) — XLA already
+        fuses concat+dense_0+ReLU optimally, and the z/attn/lse outputs cost
+        what the saved passes buy. The default train route stays the simpler
+        _fused_message. Returns None when not routed."""
         if (
             self.attention != "softmax"
             or not self.use_pallas
@@ -223,6 +230,8 @@ class AttentionalPropagation(nn.Module):
             return None
         import os
 
+        if not os.environ.get("OPENGLUE_TRAIN_HALF"):
+            return None
         if os.environ.get("OPENGLUE_NO_FUSED_MESSAGE") or os.environ.get(
             "OPENGLUE_FUSED_MESSAGE_ONLY"
         ):

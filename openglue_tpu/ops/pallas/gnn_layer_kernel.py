@@ -582,7 +582,7 @@ def _train_half_kernel(
     the pre-out-projection attention output and per-row LSE (consumed by
     _message_bwd_kernel)."""
     if save_stats:
-        msg_ref, attn_ref, lse_ref, k_scratch, v_scratch = rest
+        attn_ref, lse_ref, k_scratch, v_scratch = rest
     else:
         lse_ref = None
         k_scratch, v_scratch = rest
@@ -595,7 +595,6 @@ def _train_half_kernel(
     msg_c = msg.astype(compute_dtype)
     if save_stats:
         attn_ref[0] = attn.astype(attn_ref.dtype)
-        msg_ref[0] = msg_c.astype(msg_ref.dtype)
     if use_offset:
         cat = jnp.concatenate([xq - msg_c, msg_c], axis=1)
     else:
@@ -988,12 +987,10 @@ def _train_half_forward(
         out_specs = (
             out_specs,
             blk(dim),
-            blk(dim),
             pl.BlockSpec((1, num_heads, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         )
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype),
             jax.ShapeDtypeStruct((batch, n_pad, dim), compute_dtype),
             jax.ShapeDtypeStruct((batch, num_heads, n_pad), jnp.float32),
         )
@@ -1023,8 +1020,8 @@ def _train_half_forward(
         ),
     )(x_q, x_kv, mask, *w, w1, b1)
     if save_stats:
-        z, msg, attn, lse = out
-        return z[:, :n], msg[:, :n], attn, lse  # attn/lse stay padded for bwd
+        z, attn, lse = out
+        return z[:, :n], attn, lse  # attn/lse stay padded for bwd
     return out[:, :n]
 
 
@@ -1089,37 +1086,61 @@ def fused_train_layer_half(
         )
 
     def f_fwd(x_q, x_kv, w, w1, b1, mk):
-        z, msg, attn, lse = _train_half_forward(
+        z, attn, lse = _train_half_forward(
             x_q, x_kv, mk, w, w1, b1, num_heads, use_offset, block_q,
             interpret, cdt, save_stats=True,
         )
-        return z, (x_q, x_kv, w, w1, b1, mk, z, msg, attn, lse)
+        return z, (x_q, x_kv, w, w1, b1, mk, z, attn, lse)
 
     def f_bwd(residuals, dz):
-        x_q, x_kv, w, w1, b1, mk, z, msg, attn, lse = residuals
-        # XLA prologue: peel the FFN first half off the cotangent.
-        ds = jnp.where(z > 0, dz.astype(jnp.float32), 0.0)  # [B, N, 2D]
-        ds_c = ds.astype(cdt)
-        dcat = jax.lax.dot_general(
-            ds_c, w1.astype(cdt),
-            dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B, N, 2D] = ds @ w1^T
-        d_first, d_second = dcat[..., :dim], dcat[..., dim:]
+        x_q, x_kv, w, w1, b1, mk, z, attn, lse = residuals
+        n = x_q.shape[1]
+        # XLA prologue: peel the FFN first half off the cotangent. The concat
+        # never materializes: w1 is consumed in row halves and dw1 assembled
+        # from per-operand blocks (the first train-half cut materialized cat
+        # [B, N, 2D] + dcat and measured SLOWER than the attention-half-only
+        # kernel, 313 vs 328 pairs/s — bench/train_half_ab.py round 4).
+        ds_c = jnp.where(z > 0, dz, 0.0).astype(cdt)  # [B, N, 2D]
+        wh = w1.astype(cdt)
+
+        def dotT(a, b):  # a [B, N, X] @ b[rows X] -> [B, N, rows]
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        d_first = dotT(ds_c, wh[:dim])    # cotangent of cat[..., :D]
+        d_second = dotT(ds_c, wh[dim:])   # cotangent of cat[..., D:]
         if use_offset:  # cat = [x_q - msg, msg]
             dxq_direct = d_first
             dmsg = d_second - d_first
         else:  # cat = [x_q, msg]
             dxq_direct = d_first
             dmsg = d_second
-        xq_c = x_q.astype(cdt)
-        cat = jnp.concatenate([xq_c - msg if use_offset else xq_c, msg], axis=-1)
-        dw1 = jax.lax.dot_general(
-            cat, ds_c,
-            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [2D, 2D]
-        db1 = jnp.sum(ds, axis=(0, 1), keepdims=False)[None, :]
+
+        # msg rebuilt from the saved pre-projection attention output (one
+        # [B*N, D] @ [D, D] matmul — cheaper than an HBM round-trip of a
+        # third forward output)
+        msg = (
+            jax.lax.dot_general(
+                attn[:, :n], w.wo.astype(cdt),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + w.bo[None]
+        ).astype(cdt)
+
+        def block(a):  # [B, N, D]^T @ ds over (B, N) -> [D, 2D]
+            return jax.lax.dot_general(
+                a.astype(cdt), ds_c,
+                dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        e_x = block(x_q)
+        e_m = block(msg)
+        dw1 = jnp.concatenate([e_x - e_m if use_offset else e_x, e_m], axis=0)
+        db1 = jnp.sum(ds_c.astype(jnp.float32), axis=(0, 1))[None, :]
         dxq_attn, dxkv, dw = _message_backward(
             x_q, x_kv, mk, w, dmsg.astype(cdt), attn, lse, num_heads,
             block_q, interpret, cdt,

@@ -314,7 +314,7 @@ def _sinkhorn_from_padded(
 
 def _blocked_scale_kernel(
     k_hbm, log_a_ref, log_b_ref, y_ref, v_hat_ref,
-    stripe, sems, *, num_iters: int, r_blk: int,
+    stripe, sems, *, num_iters: int, r_blk: int, matvec: str = "vpu",
 ):
     """Scale-domain variant of the HBM-streaming kernel (same reformulation
     as _sinkhorn_kernel): the caller pre-exponentiates K = exp(M − rmax) into
@@ -356,8 +356,19 @@ def _blocked_scale_kernel(
         )
 
     v_hat_ref[...] = jnp.ones_like(v_hat_ref)
+    k_dtype = stripe.dtype
 
     def iteration(it, _):
+        if matvec in ("mxu", "mxu_y"):
+            # row matvec on the MXU: y = K_blk @ v_col. A width-1 output
+            # pads to the full 128-lane tile either way, so broadcast v̂ to
+            # 8 columns once per iteration (bf16 operand, f32 accumulate);
+            # the measured VPU lane-reduce was what pushed the kernel ~1.8x
+            # past its DMA roofline at N=2048 (bench/sinkhorn_matvec_sweep).
+            v_col = jnp.broadcast_to(
+                jnp.transpose(v_hat_ref[...]), (cp, 8)
+            ).astype(k_dtype)
+
         def pass_over_stripes(r_col, blk, slot):
             dma_in(slot, blk).wait()
             nxt = blk + 1
@@ -367,13 +378,28 @@ def _blocked_scale_kernel(
                 dma_in(1 - slot, nxt).start()
 
             K_blk = stripe[slot]  # [r_blk, cp]
-            y_blk = jnp.maximum(
-                jnp.sum(K_blk * v_hat_ref[...], axis=1, keepdims=True), _TINY
-            )
+            if matvec in ("mxu", "mxu_y"):
+                y_full = jax.lax.dot_general(
+                    K_blk, v_col,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [r_blk, 8]
+                y_blk = jnp.maximum(y_full[:, 0:1], _TINY)
+            else:
+                y_blk = jnp.maximum(
+                    jnp.sum(K_blk * v_hat_ref[...], axis=1, keepdims=True), _TINY
+                )
             # dead rows: exp(-1e9) = 0 exactly -> no column contribution
             a_blk = jnp.exp(log_a_ref[0, pl.ds(blk * r_blk, r_blk), :])
             u_hat = a_blk / y_blk
             y_ref[0, pl.ds(blk * r_blk, r_blk), :] = y_blk
+            if matvec == "mxu":
+                u_row = jnp.transpose(u_hat).astype(k_dtype)  # [1, r_blk]
+                return r_col + jax.lax.dot_general(
+                    u_row, K_blk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             return r_col + jnp.sum(K_blk * u_hat, axis=0, keepdims=True)
 
         dma_in(0, 0).start()
@@ -414,7 +440,7 @@ def _log_sinkhorn_blocked(
 
 def _blocked_from_padded(
     la, lb, M_pad, rows, cols, num_iters, interpret, r_blk: int = 256,
-    k_dtype=jnp.bfloat16,
+    k_dtype=jnp.bfloat16, matvec: str = "vpu",
 ):
     """Blocked runner on an already padded/regularized matrix.
 
@@ -441,7 +467,9 @@ def _blocked_from_padded(
     rmax = jnp.max(M_pad, axis=2, keepdims=True)  # [B, Rp, 1]
     K = jnp.exp(M_pad - rmax).astype(k_dtype)
 
-    kernel = functools.partial(_blocked_scale_kernel, num_iters=num_iters, r_blk=r_blk)
+    kernel = functools.partial(
+        _blocked_scale_kernel, num_iters=num_iters, r_blk=r_blk, matvec=matvec
+    )
     y = pl.pallas_call(
         kernel,
         grid=(batch,),

@@ -922,13 +922,18 @@ class TestFusedMessageKernel:
                 np.asarray(a), np.asarray(b), rtol=2e-6, atol=3e-4
             )
 
-    def test_module_train_step_parity(self):
+    @pytest.mark.parametrize("route", ["message", "train_half"])
+    def test_module_train_step_parity(self, route, monkeypatch):
         """AttentionalPropagation with train=True routes through the fused
-        message kernel (use_pallas + forced dispatch): outputs, input/param
-        gradients AND the mutated BatchNorm batch_stats must match the
+        message kernel — or, with OPENGLUE_TRAIN_HALF, the round-4 fused
+        train-half kernel (use_pallas + forced dispatch): outputs, input and
+        param gradients AND the mutated BatchNorm batch_stats must match the
         composed path."""
         from openglue_tpu.models.gnn import AttentionalPropagation
         from openglue_tpu.ops.pallas import force_fused_dispatch
+
+        if route == "train_half":
+            monkeypatch.setenv("OPENGLUE_TRAIN_HALF", "1")
 
         dim, heads, n = 64, 4, 96
         x_q, x_kv = rand(1, 2, n, dim), rand(2, 2, n, dim)
