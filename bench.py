@@ -64,6 +64,12 @@ def build_parser():
         help="int8 serving with OFFLINE-calibrated static activation scales "
         "(no in-kernel absmax reductions; calibrates on the bench batch)",
     )
+    parser.add_argument(
+        "--int8-static-attn", action="store_true", dest="int8_static_attn",
+        help="int8_static + the attention contractions (qk^T, P.V) on the "
+        "int8 MXU too — the narrow dh=64 dots dominate at eval scale and "
+        "double their rate at int8 (decode-agreement-guarded)",
+    )
     parser.add_argument("--attention", default="softmax")
     return parser
 
@@ -94,7 +100,8 @@ def measure(args) -> dict:
         chain_dtype=chain,
         use_pallas=args.pallas,
         quantize=(
-            "int8_static" if getattr(args, "int8_static", False)
+            "int8_static_attn" if getattr(args, "int8_static_attn", False)
+            else "int8_static" if getattr(args, "int8_static", False)
             else "int8" if args.int8 else None
         ),
         decode_stats=True,
@@ -106,7 +113,7 @@ def measure(args) -> dict:
     init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b, train=False)))
     variables = init(jax.random.key(1), batch)
     jax.block_until_ready(variables)
-    if getattr(args, "int8_static", False):
+    if getattr(args, "int8_static", False) or getattr(args, "int8_static_attn", False):
         # static-scale PTQ calibration: one mutable apply records per-layer
         # activation absmaxes; serving then runs with static scales
         _, calib = jax.jit(
@@ -160,6 +167,7 @@ def measure(args) -> dict:
             "pallas": bool(args.pallas),
             "int8": bool(args.int8),
             "int8_static": bool(getattr(args, "int8_static", False)),
+            "int8_static_attn": bool(getattr(args, "int8_static_attn", False)),
             "ms_per_batch": round(1000 * per_iter, 3),
             "baseline": "torch reference CPU same host, 1.7 pairs/s @N=1024",
         },
@@ -175,7 +183,9 @@ def _child(args, path_flag: str, timeout_s: int):
         "--attention", args.attention,
     ] + (["--f32"] if args.f32 else []) + (["--chain-f32"] if args.chain_f32 else []) + (
         ["--int8"] if args.int8 else []
-    ) + (["--int8-static"] if args.int8_static else [])
+    ) + (["--int8-static"] if args.int8_static else []) + (
+        ["--int8-static-attn"] if getattr(args, "int8_static_attn", False) else []
+    )
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
     except (subprocess.TimeoutExpired, OSError):
@@ -190,7 +200,7 @@ def _child(args, path_flag: str, timeout_s: int):
 
 def main():
     args = build_parser().parse_args()
-    if args.int8 or args.int8_static:
+    if args.int8 or args.int8_static or args.int8_static_attn:
         args.pallas = True  # the int8 paths are the quantized fused kernel
 
     if args.pallas or args.xla_only:
@@ -229,16 +239,19 @@ def main():
         best[0] is None or pallas_result.get("value", 0) > best[0].get("value", 0)
     ):
         best[0] = pallas_result
-    if pallas_result is not None and args.kpts == 1024 and not args.f32:
-        # the quantized static-PTQ serving path (quality-guarded: >=97%
-        # decode agreement tests + pose-AUC reproduction in BASELINE.md) is
-        # the fastest measured serving config — try it last, labeled in
-        # detail.int8_static, budget-boxed like the pallas attempt
-        static_result = child_with_retry("--int8-static", timeout_s=args.pallas_budget_s)
-        if static_result is not None and static_result.get("value", 0) > best[0].get(
-            "value", 0
-        ):
-            best[0] = static_result
+    if pallas_result is not None and args.kpts in (1024, 2048) and not args.f32:
+        # the quantized static-PTQ serving paths (quality-guarded: >=97%
+        # decode agreement tests + pose-AUC reproduction in BASELINE.md) are
+        # the fastest measured serving configs — try them last, labeled in
+        # detail.int8_static / detail.int8_static_attn, budget-boxed like
+        # the pallas attempt. _attn also quantizes the attention dots (the
+        # eval-scale winner; at N=1024 the dense-only variant can edge it).
+        for flag in ("--int8-static-attn", "--int8-static"):
+            static_result = child_with_retry(flag, timeout_s=args.pallas_budget_s)
+            if static_result is not None and static_result.get("value", 0) > best[
+                0
+            ].get("value", 0):
+                best[0] = static_result
     if best[0] is None:
         best[0] = {
             "metric": "image_pairs_matched_per_sec_per_chip",

@@ -41,7 +41,7 @@ def build(kpts: int, quantize, use_pallas: bool = True):
     init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b, train=False)))
     variables = init(jax.random.key(1), batch)
     jax.block_until_ready(variables)
-    if quantize == "int8_static":
+    if quantize and quantize.startswith("int8_static"):
         _, calib = jax.jit(
             lambda v, b: model.apply(
                 v, **superglue_inputs(b, train=False), mutable=["int8_calib"]
@@ -81,6 +81,7 @@ def main():
         cases.append((n, None, True))
         if not args.skip_int8:
             cases.append((n, "int8_static", True))
+            cases.append((n, "int8_static_attn", True))
         if args.xla:
             cases.append((n, None, False))
 
@@ -93,7 +94,7 @@ def main():
     results = {}
     for (n, q, pallas), (fn, batch) in built.items():
         t = device_timeit(lambda b, f=fn: f(b), batch, perturb=perturb)
-        label = f"N={n} {'int8_static' if q else 'bf16'}{'' if pallas else ' xla'}"
+        label = f"N={n} {q if q else 'bf16'}{'' if pallas else ' xla'}"
         results[label] = {
             "ms_per_pair": round(t * 1e3, 3),
             "pairs_per_s": round(1.0 / t, 1),

@@ -104,7 +104,7 @@ class OpenGlueMatcher:
         import jax.numpy as jnp
 
         if (
-            getattr(self.matcher.config, "quantize", None) == "int8_static"
+            str(getattr(self.matcher.config, "quantize", None) or "").startswith("int8_static")
             and not any("int8_calib" in k for k in self.variables)
         ):
             raise RuntimeError(
@@ -144,7 +144,9 @@ class OpenGlueMatcher:
         apply records per-layer activation absmaxes into the "int8_calib"
         collection; every later pair serves with static scales (no in-kernel
         absmax reductions — BASELINE.md round-3 int8 disposition)."""
-        if getattr(self.matcher.config, "quantize", None) != "int8_static":
+        if not str(getattr(self.matcher.config, "quantize", None) or "").startswith(
+            "int8_static"
+        ):
             return
         if any("int8_calib" in k for k in self.variables):
             return

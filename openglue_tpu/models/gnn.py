@@ -350,26 +350,36 @@ class AttentionalPropagation(nn.Module):
         weights = glk.fold_propagation_weights(
             params, variables["batch_stats"], compute_dtype
         )
-        if self.quantize in ("int8", "int8_static") and self.attention == "softmax":
+        if (
+            self.quantize in ("int8", "int8_static", "int8_attn", "int8_static_attn")
+            and self.attention == "softmax"
+        ):
             from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
 
+            # *_attn: the attention contractions (qk^T, P.V) run int8 too —
+            # the dh=64-narrow dots dominate at eval scale N=2048 and double
+            # their MXU rate at int8 (ops/pallas/gnn_layer_int8.py)
+            quant_attention = self.quantize.endswith("_attn")
+            static = self.quantize.startswith("int8_static")
             qweights = gli8.quantize_propagation_weights(weights)
             act_scales = None
-            if self.quantize == "int8_static":
+            if static:
                 # static-scale PTQ: per-tensor activation scales live in the
                 # "int8_calib" collection. Calibration = one apply with
                 # mutable=["int8_calib"] on representative batches (running
                 # max across calls); serving then skips every in-kernel
                 # absmax reduction (~0.8 ms/batch at the serving headline —
                 # BASELINE.md round-3 int8 disposition).
+                n_sites = 8 if quant_attention else 5
                 calib = self.variable(
                     "int8_calib", "act_absmax",
-                    lambda: jnp.zeros((5,), jnp.float32),
+                    lambda: jnp.zeros((n_sites,), jnp.float32),
                 )
                 if self.is_mutable_collection("int8_calib"):
                     absmax = gli8.reference_activation_absmax(
                         desc_q, desc_kv, kv_mask, qweights,
                         num_heads=self.num_heads, use_offset=self.use_offset,
+                        quant_attention=quant_attention,
                     )
                     calib.value = jnp.maximum(calib.value, absmax)
                     # the calibration pass serves through the dynamic path
@@ -380,7 +390,7 @@ class AttentionalPropagation(nn.Module):
             return gli8.fused_attention_propagation_int8(
                 desc_q, desc_kv, kv_mask, qweights,
                 num_heads=self.num_heads, use_offset=self.use_offset,
-                act_scales=act_scales,
+                act_scales=act_scales, quant_attention=quant_attention,
             )
         return glk.fused_attention_propagation(
             desc_q, desc_kv, kv_mask, weights,

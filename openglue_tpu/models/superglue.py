@@ -59,8 +59,13 @@ class SuperGlueConfig:
     remat: bool = False  # jax.checkpoint each GNN layer (memory for FLOPs)
     ring_axis: Any = None  # mesh axis for hand-scheduled ring attention (CP)
     # "int8": eval-mode GNN layers run the int8-MXU fused kernel (serving
-    # path; ~2x bf16 MXU rate on the dense chain). Requires use_pallas and
-    # softmax attention; other configs silently keep the bf16 path.
+    # path; ~2x bf16 MXU rate on the dense chain). "int8_static": offline
+    # per-tensor activation scales (calibrate via mutable=["int8_calib"])
+    # remove the in-kernel absmax reductions. "int8_attn"/"int8_static_attn":
+    # the attention contractions (qk^T, P.V) run int8 too — the dh=64-narrow
+    # dots dominate at eval scale and double their MXU rate at int8
+    # (ops/pallas/gnn_layer_int8.py). Requires use_pallas and softmax
+    # attention; other configs silently keep the bf16 path.
     quantize: Optional[str] = None
     # Emit the decode reductions (row/col argmax + row max) alongside the
     # scores so XLA fuses them into the final Sinkhorn pass; in an inference

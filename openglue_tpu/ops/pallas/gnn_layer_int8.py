@@ -132,20 +132,34 @@ def _layer_kernel_int8(
     wo_ref, so_ref, bo_ref, w1_ref, s1_ref, b1_ref, a1_ref, c1_ref,
     w2_ref, s2_ref, b2_ref,
     out_ref,
-    k_scratch, v_scratch,
+    k_scratch, v_scratch, attn_scale_scratch,
     *, num_heads: int, use_offset: bool, scale: float, attn_dtype,
-    static_scales: bool = False,
+    static_scales: bool = False, quant_attention: bool = False,
 ):
     """Same structure as gnn_layer_kernel._layer_kernel (softmax attention):
     grid (batch, query blocks); K/V projected once per batch element into
     VMEM scratch at the first block. All six dense matmuls run int8.
 
     ``static_scales``: per-tensor activation scales calibrated OFFLINE
-    (act_scales_ref row order: kv, xq, attn, cat, h1) replace the per-row
-    absmax quantization — the absmax reduce disappears and the round/clip
-    fuses into the producing epilogue. The dynamic per-row path pays ~0.8
-    ms/batch in these VPU passes at the serving headline (BASELINE.md
-    round-3 int8 disposition: ceiling probe 1,455 vs dynamic 1,353 pairs/s)."""
+    (act_scales_ref row order: kv, xq, attn, cat, h1[, k_attn, v_attn,
+    q_attn]) replace the per-row absmax quantization — the absmax reduce
+    disappears and the round/clip fuses into the producing epilogue. The
+    dynamic per-row path pays ~0.8 ms/batch in these VPU passes at the
+    serving headline (BASELINE.md round-3 int8 disposition: ceiling probe
+    1,455 vs dynamic 1,353 pairs/s).
+
+    ``quant_attention``: ALSO run the two attention contractions on the int8
+    MXU — the dh=64-narrow qk^T and P.V dots are 62% of the per-layer FLOPs
+    at eval scale N=2048 and run at half MXU width in bf16; int8 doubles
+    their rate at the same width. q/k/v are quantized PER-TENSOR (scalar
+    scales, so the dequant folds into the existing logits fma: logits =
+    acc * (s_q*s_k*scale) + mask_add — no extra [BQ, M] VPU pass), and the
+    softmax probabilities p in [0, 1] quantize with the CONSTANT scale 127
+    (p = exp(x - rowmax) <= 1 exactly, so round(p*127) needs no absmax and
+    no clip). k/v live in VMEM scratch as int8, halving the scratch
+    footprint. Dynamic mode computes the three scalar absmaxes in-kernel
+    (cheap [rows, D] reduces, NOT [BQ, M]); static mode reads calibrated
+    sites 5/6/7."""
     import os
 
     if static_scales:
@@ -179,35 +193,86 @@ def _layer_kernel_int8(
     def _project_kv():
         kv = x_kv_ref[0].astype(jnp.float32)
         kv_i8, s_kv = _quant_rows(kv, 0)
-        k_scratch[...] = _qdot(kv_i8, s_kv, wk_ref[...], sk_ref[...], bk_ref[...]).astype(
-            k_scratch.dtype
-        )
-        v_scratch[...] = _qdot(kv_i8, s_kv, wv_ref[...], sv_ref[...], bv_ref[...]).astype(
-            v_scratch.dtype
-        )
+        kf = _qdot(kv_i8, s_kv, wk_ref[...], sk_ref[...], bk_ref[...])
+        vf = _qdot(kv_i8, s_kv, wv_ref[...], sv_ref[...], bv_ref[...])
+        if quant_attention:
+            # per-tensor int8 k/v: scalar scales make the logits/output
+            # dequants fold into the fmas the bf16 path already pays
+            if static_scales:
+                s_ka = act_scales_ref[5, 0]
+                s_va = act_scales_ref[6, 0]
+            else:
+                s_ka = jnp.max(jnp.abs(kf)) / 127.0 + _EPS
+                s_va = jnp.max(jnp.abs(vf)) / 127.0 + _EPS
+                attn_scale_scratch[0] = s_ka
+                attn_scale_scratch[1] = s_va
+            k_scratch[...] = jnp.clip(
+                jnp.round(kf * (1.0 / s_ka)), -127, 127
+            ).astype(jnp.int8)
+            v_scratch[...] = jnp.clip(
+                jnp.round(vf * (1.0 / s_va)), -127, 127
+            ).astype(jnp.int8)
+        else:
+            k_scratch[...] = kf.astype(k_scratch.dtype)
+            v_scratch[...] = vf.astype(v_scratch.dtype)
 
     xq = x_q_ref[0].astype(jnp.float32)  # [BQ, D]
     xq_i8, s_xq = _quant_rows(xq, 1)
-    q = _qdot(xq_i8, s_xq, wq_ref[...], sq_ref[...], bq_ref[...]).astype(attn_dtype)
+    qf = _qdot(xq_i8, s_xq, wq_ref[...], sq_ref[...], bq_ref[...])
 
     head_outs = []
-    for h in range(num_heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh = q[:, sl]
-        kh = k_scratch[:, sl]
-        logits = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + mask_add  # [BQ, M]
-        m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(attn_dtype), v_scratch[:, sl],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, dh]
-        head_outs.append(o / denom)
+    if quant_attention:
+        if static_scales:
+            s_ka = act_scales_ref[5, 0]
+            s_va = act_scales_ref[6, 0]
+            s_qa = act_scales_ref[7, 0]
+        else:
+            s_ka = attn_scale_scratch[0]
+            s_va = attn_scale_scratch[1]
+            s_qa = jnp.max(jnp.abs(qf)) / 127.0 + _EPS  # [BQ, D] reduce
+        q_i8 = jnp.clip(jnp.round(qf * (1.0 / s_qa)), -127, 127).astype(jnp.int8)
+        logit_scale = s_qa * s_ka * scale
+        out_scale = s_va * (1.0 / 127.0)
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            acc = jax.lax.dot_general(
+                q_i8[:, sl], k_scratch[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [BQ, M] int32
+            logits = acc.astype(jnp.float32) * logit_scale + mask_add
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            # p in [0, 1] exactly (max-subtracted exp): constant scale 127,
+            # no absmax, no clip — round replaces the bf16 cast of the
+            # unquantized path
+            p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+            o_acc = jax.lax.dot_general(
+                p_i8, v_scratch[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [BQ, dh] int32
+            head_outs.append(o_acc.astype(jnp.float32) * out_scale / denom)
+    else:
+        q = qf.astype(attn_dtype)
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh = q[:, sl]
+            kh = k_scratch[:, sl]
+            logits = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + mask_add  # [BQ, M]
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(attn_dtype), v_scratch[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, dh]
+            head_outs.append(o / denom)
     attn = jnp.concatenate(head_outs, axis=1)  # [BQ, D] f32
 
     attn_i8, s_attn = _quant_rows(attn, 2)
@@ -239,26 +304,32 @@ def fused_attention_propagation_int8(
     interpret: Optional[bool] = None,
     attn_dtype: jnp.dtype = jnp.bfloat16,
     act_scales: Optional[jnp.ndarray] = None,
+    quant_attention: bool = False,
 ) -> jnp.ndarray:
     """One eval-mode layer, fused, dense matmuls on the int8 MXU path.
     x_q [B, N, D], x_kv [B, M, D], kv_mask [B, M] bool or None -> [B, N, D].
     Softmax attention only (the linear variant's O(N) aggregates are already
     MXU-cheap; its bottleneck is the feature map, not the dense chain).
 
-    ``act_scales``: optional [5] f32 per-tensor activation scales
-    (kv, xq, attn, cat, h1 — from calibrate: reference_activation_absmax/127)
+    ``act_scales``: optional f32 per-tensor activation scales — [5]
+    (kv, xq, attn, cat, h1) or [8] (+ k_attn, v_attn, q_attn when
+    ``quant_attention``), from calibrate: reference_activation_absmax/127 —
     switching the kernel to static-scale PTQ quantization (no in-kernel
-    absmax reductions)."""
+    absmax reductions).
+
+    ``quant_attention``: run the qk^T and P.V attention contractions on the
+    int8 MXU too (per-tensor q/k/v scales, constant-scale probabilities) —
+    the narrow dh=64 dots dominate at eval scale N=2048 and double their
+    MXU rate at int8 (kernel docstring)."""
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     static_scales = act_scales is not None
+    scales_pad = jnp.zeros((8, 128), jnp.float32)
     if static_scales:
-        scales_pad = jnp.zeros((8, 128), jnp.float32)
-        scales_pad = scales_pad.at[:5, 0].set(act_scales.astype(jnp.float32))
-    else:
-        scales_pad = jnp.zeros((8, 128), jnp.float32)
+        k = act_scales.shape[0]
+        scales_pad = scales_pad.at[:k, 0].set(act_scales.astype(jnp.float32))
 
     if block_q is None:
         # same adaptive policy as the bf16 layer kernel (gnn_layer_kernel)
@@ -296,10 +367,13 @@ def fused_attention_propagation_int8(
         scale=(dim // num_heads) ** -0.5,
         attn_dtype=attn_dtype,
         static_scales=static_scales,
+        quant_attention=quant_attention,
     )
+    kv_scratch_dtype = jnp.int8 if quant_attention else attn_dtype
     scratch = [
-        pltpu.VMEM((m_pad, dim), attn_dtype),
-        pltpu.VMEM((m_pad, dim), attn_dtype),
+        pltpu.VMEM((m_pad, dim), kv_scratch_dtype),
+        pltpu.VMEM((m_pad, dim), kv_scratch_dtype),
+        pltpu.SMEM((2,), jnp.float32),  # dynamic per-tensor k/v attn scales
     ]
     out = pl.pallas_call(
         kernel,
@@ -336,18 +410,22 @@ def xla_reference_layer_int8(
     attn_dtype: jnp.dtype = jnp.bfloat16,
     act_scales: Optional[jnp.ndarray] = None,
     collect_absmax: bool = False,
+    quant_attention: bool = False,
 ):
     """Identical quantized math in plain XLA — the kernel's parity oracle and
     the int8 fallback off-TPU.
 
-    ``act_scales`` [5] f32 (kv, xq, attn, cat, h1): static per-tensor
-    quantization, mirroring the kernel's static_scales mode.
-    ``collect_absmax``: also return the [5] per-site input absmaxes — the
-    calibration pass for the static mode (reference_activation_absmax)."""
+    ``act_scales`` [5] or [8] f32 (kv, xq, attn, cat, h1[, k_attn, v_attn,
+    q_attn]): static per-tensor quantization, mirroring the kernel's
+    static_scales mode.
+    ``collect_absmax``: also return the per-site input absmaxes — the
+    calibration pass for the static mode (reference_activation_absmax).
+    ``quant_attention``: also quantize the attention contractions (per-tensor
+    q/k/v, constant-scale probabilities), mirroring the kernel flag."""
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
     dh = dim // num_heads
-    absmaxes = [None] * 5
+    absmaxes = [None] * (8 if quant_attention else 5)
 
     def quant_rows(x, site):
         x = x.astype(jnp.float32)
@@ -359,6 +437,17 @@ def xla_reference_layer_int8(
             sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + _EPS
         return jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8), sx
 
+    def quant_tensor(x, site):
+        """Per-tensor symmetric int8 (the attention-operand scheme)."""
+        x = x.astype(jnp.float32)
+        if collect_absmax:
+            absmaxes[site] = jnp.max(jnp.abs(x))
+        if act_scales is not None:
+            sx = act_scales[site]
+        else:
+            sx = jnp.max(jnp.abs(x)) / 127.0 + _EPS
+        return jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8), sx
+
     def qdense(x, site, wi8, sw, bias):
         xi8, sx = quant_rows(x, site)
         acc = jax.lax.dot_general(
@@ -367,21 +456,44 @@ def xla_reference_layer_int8(
         )
         return acc.astype(jnp.float32) * (sx * sw[None]) + bias[None]
 
-    q = qdense(x_q, 1, w.wq, w.sq, w.bq).astype(attn_dtype)
-    k = qdense(x_kv, 0, w.wk, w.sk, w.bk).astype(attn_dtype)
-    v = qdense(x_kv, 0, w.wv, w.sv, w.bv).astype(attn_dtype)
+    qf = qdense(x_q, 1, w.wq, w.sq, w.bq)
+    kf = qdense(x_kv, 0, w.wk, w.sk, w.bk)
+    vf = qdense(x_kv, 0, w.wv, w.sv, w.bv)
 
     def split(x):
         return x.reshape(batch, -1, num_heads, dh).transpose(0, 2, 1, 3)
 
-    logits = jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)).astype(jnp.float32) * dh**-0.5
-    if kv_mask is not None:
-        logits = logits + (1.0 - kv_mask.astype(jnp.float32))[:, None, None, :] * _NEG_INF
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - mx)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(attn_dtype), split(v)).astype(jnp.float32)
-    o = o / denom
+    maskf = None if kv_mask is None else kv_mask.astype(jnp.float32)
+    if quant_attention:
+        k_i8, s_ka = quant_tensor(kf, 5)
+        v_i8, s_va = quant_tensor(vf, 6)
+        q_i8, s_qa = quant_tensor(qf, 7)
+        acc = jnp.einsum(
+            "bhnd,bhmd->bhnm", split(q_i8), split(k_i8),
+            preferred_element_type=jnp.int32,
+        )
+        logits = acc.astype(jnp.float32) * (s_qa * s_ka * dh**-0.5)
+        if maskf is not None:
+            logits = logits + (1.0 - maskf)[:, None, None, :] * _NEG_INF
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+        o = jnp.einsum(
+            "bhnm,bhmd->bhnd", p_i8, split(v_i8),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (s_va / 127.0)
+        o = o / denom
+    else:
+        q, k, v = qf.astype(attn_dtype), kf.astype(attn_dtype), vf.astype(attn_dtype)
+        logits = jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)).astype(jnp.float32) * dh**-0.5
+        if maskf is not None:
+            logits = logits + (1.0 - maskf)[:, None, None, :] * _NEG_INF
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(attn_dtype), split(v)).astype(jnp.float32)
+        o = o / denom
     attn = o.transpose(0, 2, 1, 3).reshape(batch, n, dim)
 
     msg = qdense(attn, 2, w.wo, w.so, w.bo)
@@ -403,11 +515,14 @@ def reference_activation_absmax(
     w: QuantPropagationWeights,
     num_heads: int,
     use_offset: bool = False,
+    quant_attention: bool = False,
 ) -> jnp.ndarray:
     """Calibration pass for static-scale PTQ: run the dynamically-quantized
     reference forward and return the [5] per-site activation absmaxes
-    (kv, xq, attn, cat, h1). Static scales = absmax * headroom / 127."""
+    (kv, xq, attn, cat, h1) — [8] with ``quant_attention`` (+ k_attn,
+    v_attn, q_attn). Static scales = absmax * headroom / 127."""
     _, absmax = xla_reference_layer_int8(
-        x_q, x_kv, kv_mask, w, num_heads, use_offset, collect_absmax=True
+        x_q, x_kv, kv_mask, w, num_heads, use_offset, collect_absmax=True,
+        quant_attention=quant_attention,
     )
     return absmax

@@ -724,6 +724,128 @@ class TestInt8FusedGNNLayer:
         )
         assert rel < 0.05, f"static int8 relative error {rel:.4f}"
 
+    def test_quant_attention_matches_xla_oracle(self):
+        """int8-attention mode (qk^T and P.V on the int8 MXU, per-tensor
+        q/k/v scales, constant-scale probabilities): kernel vs the XLA oracle
+        running the same quantized math."""
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        _, qw = self._qweights(dim)
+        ref = gli8.xla_reference_layer_int8(
+            x_q, x_kv, mask, qw, heads, quant_attention=True
+        )
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_kv, mask, qw, num_heads=heads, block_q=32,
+            quant_attention=True,
+        )
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        # the kernel quantizes q PER QUERY BLOCK (block-local absmax) while
+        # the oracle uses the global absmax — small scale differences flip
+        # independent rounding decisions; compare in norm
+        assert rel < 0.02, f"attn-quant kernel-vs-oracle relative error {rel:.4f}"
+
+    def test_quant_attention_static_matches_oracle(self):
+        """Static [8]-site scales: kernel and oracle use identical scalar
+        scales everywhere, so the quantized math matches tightly."""
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 4
+        x_q, x_kv = rand(1, 2, 96, dim), rand(2, 2, 80, dim)
+        mask = jnp.arange(80)[None, :] < jnp.asarray([60, 80])[:, None]
+        _, qw = self._qweights(dim)
+        absmax = gli8.reference_activation_absmax(
+            x_q, x_kv, mask, qw, heads, quant_attention=True
+        )
+        assert absmax.shape == (8,)
+        scales = absmax * (1.1 / 127.0) + 1e-12
+        ref = gli8.xla_reference_layer_int8(
+            x_q, x_kv, mask, qw, heads, act_scales=scales, quant_attention=True
+        )
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_kv, mask, qw, num_heads=heads, block_q=32,
+            act_scales=scales, quant_attention=True,
+        )
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.015, f"static attn-quant kernel-vs-oracle error {rel:.4f}"
+
+    def test_quant_attention_error_bounded_vs_f32(self):
+        """Quantizing the attention operands adds logit noise on top of the
+        dense-chain quantization — bound the total against the f32 layer."""
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+        from openglue_tpu.ops.pallas import gnn_layer_int8 as gli8
+
+        dim, heads = 128, 4
+        x_q = rand(1, 2, 96, dim)
+        w, qw = self._qweights(dim, seed=3)
+        ref = glk.xla_reference_layer(x_q, x_q, None, w, heads, False)
+        out = gli8.fused_attention_propagation_int8(
+            x_q, x_q, None, qw, num_heads=heads, block_q=32,
+            quant_attention=True,
+        )
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.05, f"attn-quant int8 relative error {rel:.4f}"
+
+    @pytest.mark.slow
+    def test_model_int8_attn_decode_agreement(self):
+        """End-to-end int8_static_attn flow (the fastest eval-scale serving
+        path): calibrate -> serve -> decode agreement vs f32 (the serving
+        quality guard, same bar as the dense-only int8 path)."""
+        from openglue_tpu.data.synthetic import SyntheticHomographyPairs
+        from openglue_tpu.models.matching import decode_matches
+        from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+        from openglue_tpu.train.step import superglue_inputs
+
+        def model(quantize):
+            return SuperGlue(
+                SuperGlueConfig(
+                    descriptor_dim=64,
+                    pe_hidden_layers_sizes=(32,),
+                    side_info_size=1,
+                    num_stages=2,
+                    num_heads=4,
+                    otp_num_iters=8,
+                    residual=True,
+                    use_pallas=True,
+                    quantize=quantize,
+                )
+            )
+
+        gen = SyntheticHomographyPairs(num_keypoints=512, descriptor_dim=64)
+        batch = gen.sample(jax.random.key(0), 2)
+        inputs = superglue_inputs(batch, train=False)
+        variables = model(None).init(jax.random.key(1), **inputs)
+
+        def matches(variables, quantize):
+            scores = model(quantize).apply(variables, **inputs)["scores"]
+            return decode_matches(
+                scores, mask0=batch.side0.mask, mask1=batch.side1.mask
+            )["matches0"]
+
+        m_ref = matches(variables, None)
+        # dynamic attention quantization
+        m_dyn = matches(variables, "int8_attn")
+        assert float(jnp.mean(m_ref == m_dyn)) >= 0.97
+        # static: calibrate ([8] sites), then serve
+        _, calib = model("int8_static_attn").apply(
+            variables, **inputs, mutable=["int8_calib"]
+        )
+        calib = dict(calib)
+        assert all(
+            a.shape == (8,) for a in jax.tree_util.tree_leaves(calib)
+        ), "attn-quant calibration must record all 8 sites"
+        m_static = matches({**variables, **calib}, "int8_static_attn")
+        agreement = float(jnp.mean(m_ref == m_static))
+        assert agreement >= 0.97, f"static attn-quant decode agreement {agreement:.4f}"
+
     @pytest.mark.slow
     def test_model_int8_static_calibrate_then_decode_agreement(self):
         """End-to-end static-scale PTQ flow: calibrate (mutable int8_calib
