@@ -109,14 +109,16 @@ def stack_keypoints_batch(
         desc = np.stack(all_desc)
         mask = np.stack(all_mask)
 
-        import jax.numpy as jnp
-
         kpts = lafs[:, :, :, 2]  # LAF translation column = keypoint xy
         resp = scores[..., None]
         if log_response:
             resp = np.log(resp + 0.1)
+        # the LAF converter must run HOST-side (numpy in -> numpy out,
+        # features/lafs.py _xp): a jnp round-trip here puts a device fetch
+        # on every collate — ~40 ms each over the axon tunnel, and a single
+        # dropped RPC hangs the data loader forever (round-4 trainer hang)
         side_info = np.concatenate(
-            [resp, np.asarray(laf_converter(jnp.asarray(lafs)))], axis=-1
+            [resp, np.asarray(laf_converter(lafs))], axis=-1
         ).astype(np.float32)
         image_size = np.stack(
             [np.asarray(s[f"image{image_id}_size"], np.float32) for s in samples]

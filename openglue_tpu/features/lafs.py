@@ -12,6 +12,16 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def _xp(arr):
+    """Array namespace of ``arr`` — numpy stays numpy so HOST callers (the
+    collate path, data/collate.py) never round-trip through the device: a
+    per-batch device fetch over the axon tunnel costs ~40 ms and any dropped
+    RPC hangs the data loader forever (round-4 trainer-proof hang). In-jit
+    callers pass traced jnp arrays and keep jnp."""
+    return np if isinstance(arr, np.ndarray) else jnp
 
 
 def laf_center(lafs: jnp.ndarray) -> jnp.ndarray:
@@ -22,9 +32,10 @@ def laf_center(lafs: jnp.ndarray) -> jnp.ndarray:
 def laf_scale(lafs: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     """Scale = sqrt(|det A|) (kornia get_laf_scale semantics):
     [B, N, 2, 3] -> [B, N, 1]."""
+    xp = _xp(lafs)
     A = lafs[..., :2, :2]
     det = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
-    return jnp.sqrt(jnp.abs(det) + eps)[..., None]
+    return xp.sqrt(xp.abs(det) + eps)[..., None]
 
 
 def laf_from_keypoints(
@@ -40,7 +51,7 @@ def laf_from_keypoints(
 
 def laf_log_scale(lafs: jnp.ndarray) -> jnp.ndarray:
     """[B, N, 1] log scale (reference laf_converter.py:22-36)."""
-    return jnp.log(laf_scale(lafs))
+    return _xp(lafs).log(laf_scale(lafs))
 
 
 def laf_sincos_orientation(lafs: jnp.ndarray) -> jnp.ndarray:
@@ -66,10 +77,11 @@ class LAFConverter:
         self.functions = functions
 
     def __call__(self, lafs: jnp.ndarray) -> jnp.ndarray:
+        xp = _xp(lafs)
         if not self.functions:
             b, n = lafs.shape[:2]
-            return jnp.zeros((b, n, 0), dtype=lafs.dtype)
-        return jnp.concatenate([fn(lafs) for fn, _ in self.functions], axis=-1)
+            return xp.zeros((b, n, 0), dtype=lafs.dtype)
+        return xp.concatenate([fn(lafs) for fn, _ in self.functions], axis=-1)
 
     @property
     def side_info_dim(self) -> int:

@@ -415,3 +415,23 @@ class TestStructuredFixture:
         j = m0[b, i]
         sims = (d0[b, i] * d1[b, j]).sum(-1)
         assert sims.mean() > 0.7
+
+    def test_image_fixture_feeds_homography_dataset(self, tmp_path):
+        """generate_image_fixture -> HomographyPairsDataset: textured images
+        with enough contrast for corner detection (the round-4 CLI
+        pretraining proof runs on this folder)."""
+        from openglue_tpu.data.fixture import generate_image_fixture
+        from openglue_tpu.data.homography import HomographyPairsDataset
+
+        stats = generate_image_fixture(
+            tmp_path / "imgs", num_images=3, image_size=(320, 256), seed=1
+        )
+        assert stats["num_images"] == 3
+        ds = HomographyPairsDataset(
+            tmp_path / "imgs", target_size=(160, 120), max_corner_offset=64
+        )
+        assert len(ds) == 3
+        sample = ds[0]
+        img0 = np.asarray(sample["image0"])
+        assert img0.shape[-2:] == (120, 160) or img0.shape[:2] == (120, 160)
+        assert img0.std() > 0.05, "fixture images must be textured"
