@@ -66,6 +66,17 @@ def main():
                         help="batch for the cacher (extractor-only) timing")
     parser.add_argument("--skip-train", action="store_true")
     parser.add_argument("--skip-extract", action="store_true")
+    parser.add_argument(
+        "--sweep-batches", type=int, nargs="*", default=None,
+        help="measure the train step at several batch sizes interleaved in "
+        "ONE process/window (chip drift makes cross-window batch "
+        "comparisons unreliable)",
+    )
+    parser.add_argument(
+        "--extract-sweep", type=int, nargs="*", default=None,
+        help="cacher batch sizes, interleaved in-window (default: just "
+        "--extract-batch)",
+    )
     args = parser.parse_args()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
@@ -146,20 +157,20 @@ def main():
             # keep the CNN + GT gen inside the timed loop
             return {**b, "image0": b["image0"] * s, "image1": b["image1"] * s}
 
-        seconds = device_timeit(run, batch, perturb=perturb)
-        result["value"] = round(args.batch / seconds, 2)
-        result["detail"]["ms_per_step"] = round(seconds * 1e3, 2)
-        print(json.dumps(result), flush=True)
+        for bsz in args.sweep_batches or [args.batch]:
+            b = (
+                batch if bsz == args.batch
+                else synthetic_image_batch(bsz, args.height, args.width)
+            )
+            seconds = device_timeit(run, b, perturb=perturb)
+            result["value"] = round(bsz / seconds, 2)
+            result["detail"]["batch"] = bsz
+            result["detail"]["ms_per_step"] = round(seconds * 1e3, 2)
+            print(json.dumps(result), flush=True)
 
     if not args.skip_extract:
         # cacher throughput: extractor-only forward (reference
         # extract_features.py process_chunk inner loop, device part)
-        eb = args.extract_batch
-        images = jnp.asarray(
-            np.random.default_rng(1).random(
-                (eb, args.height, args.width), dtype=np.float32
-            )
-        )
         ex_apply = jax.jit(
             lambda v, im: model.apply(v, im, train=False, method="extract")
         )
@@ -172,25 +183,31 @@ def main():
                 + jnp.sum(f.responses.astype(jnp.float32))
             )
 
-        seconds = device_timeit(run_extract, images, perturb=lambda im, s: im * s)
-        print(
-            json.dumps(
-                {
-                    "metric": "extract_images_per_sec_per_chip",
-                    "value": round(eb / seconds, 2),
-                    "unit": "images/s",
-                    "detail": {
-                        "device": str(jax.devices()[0]),
-                        "batch": eb,
-                        "image": [args.width, args.height],
-                        "kpts": args.kpts,
-                        "dtype": "float32" if args.f32 else "bfloat16",
-                        "ms_per_batch": round(seconds * 1e3, 2),
-                    },
-                }
-            ),
-            flush=True,
-        )
+        for eb in args.extract_sweep or [args.extract_batch]:
+            images = jnp.asarray(
+                np.random.default_rng(1).random(
+                    (eb, args.height, args.width), dtype=np.float32
+                )
+            )
+            seconds = device_timeit(run_extract, images, perturb=lambda im, s: im * s)
+            print(
+                json.dumps(
+                    {
+                        "metric": "extract_images_per_sec_per_chip",
+                        "value": round(eb / seconds, 2),
+                        "unit": "images/s",
+                        "detail": {
+                            "device": str(jax.devices()[0]),
+                            "batch": eb,
+                            "image": [args.width, args.height],
+                            "kpts": args.kpts,
+                            "dtype": "float32" if args.f32 else "bfloat16",
+                            "ms_per_batch": round(seconds * 1e3, 2),
+                        },
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
