@@ -341,6 +341,12 @@ def fused_attention_propagation_int8(
         # limit at block_q=1024 (measured Mosaic stack OOM by 152K at
         # B=16 N=1024); one notch down fits with headroom
         block_q = min(block_q, 512)
+    if quant_attention and m > 1024:
+        # the int32 qk accumulator lives NEXT TO the f32 logits/probabilities
+        # (the bf16 path's dot writes f32 directly) — at M=2048 block 512 the
+        # stack lands 1.95M past the 16M scoped-VMEM limit (measured Mosaic
+        # OOM); 256 fits
+        block_q = min(block_q, 256)
     block_q = min(block_q, _round_up(n, 128))
     n_pad = _round_up(n, block_q)
     m_pad = _round_up(m, 128)
