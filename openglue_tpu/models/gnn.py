@@ -384,6 +384,17 @@ class AttentionalPropagation(nn.Module):
                     calib.value = jnp.maximum(calib.value, absmax)
                     # the calibration pass serves through the dynamic path
                 else:
+                    if calib.value.shape[0] != n_sites:
+                        # a checkpoint calibrated under the other int8_static
+                        # flavor restores the wrong-length vector; the kernel
+                        # would otherwise zero-fill the attention sites into
+                        # ~1e-12 scales (silently wrong attention)
+                        raise ValueError(
+                            f"int8_calib/act_absmax has {calib.value.shape[0]} "
+                            f"sites but quantize={self.quantize!r} needs "
+                            f"{n_sites} — re-run calibration under this "
+                            "quantize mode."
+                        )
                     # 10% headroom absorbs mild calibration/serving drift;
                     # out-of-range values saturate (standard symmetric PTQ)
                     act_scales = calib.value * (1.1 / 127.0) + 1e-12

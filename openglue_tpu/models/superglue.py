@@ -65,7 +65,7 @@ class SuperGlueConfig:
     # the attention contractions (qk^T, P.V) run int8 too — the dh=64-narrow
     # dots dominate at eval scale and double their MXU rate at int8
     # (ops/pallas/gnn_layer_int8.py). Requires use_pallas and softmax
-    # attention; other configs silently keep the bf16 path.
+    # attention; other configs keep the bf16 path and warn at trace time.
     quantize: Optional[str] = None
     # Emit the decode reductions (row/col argmax + row max) alongside the
     # scores so XLA fuses them into the final Sinkhorn pass; in an inference
@@ -147,6 +147,26 @@ class SuperGlue(nn.Module):
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
         dtype = cfg.dtype
+        if cfg.quantize is not None:
+            # the int8 kernels only exist for the Pallas softmax path; any
+            # other config silently serves bf16, so say so loudly (once per
+            # trace) instead of letting "quantize: int8_static" be a no-op
+            reasons = []
+            if not cfg.use_pallas:
+                reasons.append("use_pallas=False")
+            if cfg.attention != "softmax":
+                reasons.append(f"attention={cfg.attention!r} (softmax only)")
+            if cfg.ring_axis is not None:
+                reasons.append("ring_axis is set")
+            if reasons:
+                import warnings
+
+                warnings.warn(
+                    f"quantize={cfg.quantize!r} requested but the int8 serving "
+                    f"path cannot run ({', '.join(reasons)}); serving the "
+                    "bf16/f32 path instead.",
+                    stacklevel=2,
+                )
 
         kpts0 = normalize_keypoints(kpts0, image_size0)
         kpts1 = normalize_keypoints(kpts1, image_size1)

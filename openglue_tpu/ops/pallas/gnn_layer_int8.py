@@ -159,7 +159,24 @@ def _layer_kernel_int8(
     no clip). k/v live in VMEM scratch as int8, halving the scratch
     footprint. Dynamic mode computes the three scalar absmaxes in-kernel
     (cheap [rows, D] reduces, NOT [BQ, M]); static mode reads calibrated
-    sites 5/6/7."""
+    sites 5/6/7.
+
+    Scale granularity in DYNAMIC mode differs from the XLA oracle: here q is
+    quantized per query block and k/v per batch element (the absmaxes are
+    taken over what is resident in VMEM), while xla_reference_layer_int8
+    uses one global per-tensor absmax — different quantization grids, so
+    kernel and off-TPU fallback agree only to the parity test's norm
+    tolerance, not bitwise. Static mode shares one calibrated grid and is
+    exact between the two.
+
+    Probability-quantization caveat: p below 1/254 rounds to int8 zero while
+    denom keeps the unquantized sum, so DIFFUSE attention rows (near-uniform
+    p ~ 1/M, typical of untrained weights or early calibration batches at
+    M=2048) lose most of their mass and the head output shrinks toward zero
+    rather than just rounding. The >=97% decode-agreement guard exercises
+    peaked TRAINED attention only — gate *_attn serving on a decode-agreement
+    check against the actual served checkpoint, not just the synthetic test
+    (BASELINE.md round-4 int8_attn disposition)."""
     import os
 
     if static_scales:
@@ -326,6 +343,18 @@ def fused_attention_propagation_int8(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     static_scales = act_scales is not None
+    if static_scales and quant_attention and act_scales.shape[0] < 8:
+        # A 5-site calibration vector (calibrated under int8_static, then the
+        # config flipped to *_attn) would zero-pad sites 5-7; the caller's
+        # +1e-12 turns those into ~1e-12 scales, collapsing attention to
+        # uniform and zeroing the attention message — silently wrong outputs.
+        raise ValueError(
+            "quant_attention=True needs 8 calibrated activation sites "
+            f"(kv, xq, attn, cat, h1, k_attn, v_attn, q_attn); got "
+            f"act_scales.shape={tuple(act_scales.shape)}. Re-calibrate with "
+            "quantize='int8_static_attn' (the 5-site int8_static calibration "
+            "does not cover the attention operands)."
+        )
     scales_pad = jnp.zeros((8, 128), jnp.float32)
     if static_scales:
         k = act_scales.shape[0]
@@ -341,12 +370,15 @@ def fused_attention_propagation_int8(
         # limit at block_q=1024 (measured Mosaic stack OOM by 152K at
         # B=16 N=1024); one notch down fits with headroom
         block_q = min(block_q, 512)
-    if quant_attention and m > 1024:
+    if quant_attention:
         # the int32 qk accumulator lives NEXT TO the f32 logits/probabilities
         # (the bf16 path's dot writes f32 directly) — at M=2048 block 512 the
         # stack lands 1.95M past the 16M scoped-VMEM limit (measured Mosaic
-        # OOM); 256 fits
-        block_q = min(block_q, 256)
+        # OOM); 256 fits. At M<=1024 the static variant's 512 budget was
+        # measured tight already, so the dynamic *_attn path (which adds the
+        # [block_q, M] int32 accumulator on top) is clamped to 512 as well
+        # rather than risking an untested block_q=1024 liveness profile.
+        block_q = min(block_q, 256 if m > 1024 else 512)
     block_q = min(block_q, _round_up(n, 128))
     n_pad = _round_up(n, block_q)
     m_pad = _round_up(m, 128)
@@ -418,8 +450,13 @@ def xla_reference_layer_int8(
     collect_absmax: bool = False,
     quant_attention: bool = False,
 ):
-    """Identical quantized math in plain XLA — the kernel's parity oracle and
-    the int8 fallback off-TPU.
+    """The kernel's parity oracle and the int8 fallback off-TPU. STATIC mode
+    is identical quantized math to the kernel; DYNAMIC ``quant_attention``
+    mode is NOT bit-identical — this oracle quantizes q/k/v with one global
+    per-tensor absmax while the kernel takes q's absmax per query block and
+    k/v's per batch element (different quantization grids; the parity test's
+    norm tolerance covers the gap). Do not mistake the dynamic oracle for
+    bit-exact off-TPU serving.
 
     ``act_scales`` [5] or [8] f32 (kv, xq, attn, cat, h1[, k_attn, v_attn,
     q_attn]): static per-tensor quantization, mirroring the kernel's
@@ -431,6 +468,13 @@ def xla_reference_layer_int8(
     batch, n, dim = x_q.shape
     m = x_kv.shape[1]
     dh = dim // num_heads
+    if quant_attention and act_scales is not None and act_scales.shape[0] < 8:
+        raise ValueError(
+            "quant_attention=True needs 8 calibrated activation sites; got "
+            f"act_scales.shape={tuple(act_scales.shape)} — re-calibrate with "
+            "quantize='int8_static_attn' (JAX clamps out-of-range indices, so "
+            "sites 5-7 would silently read site 4's scale)."
+        )
     absmaxes = [None] * (8 if quant_attention else 5)
 
     def quant_rows(x, site):
