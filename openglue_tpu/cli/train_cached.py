@@ -48,24 +48,16 @@ def build_dataloaders(config, laf_converter):
     # sparse batches run on smaller graphs (data/bucketing.py).
     buckets = data.get("buckets")
     buckets = tuple(int(b) for b in buckets) if buckets else None
-    # data.bucket_grouping: regroup loaded samples into same-bucket batches
-    # before collating (data/bucketing.py BucketGroupedBatches) — at flagship
-    # batch sizes per-batch bucketing alone is a wash because one saturated
-    # image drags the batch to the cap.
+    # data.bucket_grouping: group samples into same-bucket batches BEFORE
+    # forming them — at flagship batch sizes per-batch bucketing alone is a
+    # wash because one saturated image drags the batch to the cap. Grouping
+    # runs on INDICES with cheap h5-metadata keypoint counts
+    # (BucketGroupedIndexBatches): the schedule is computed identically on
+    # every host from the shared global sampler stream (multi-host DP safe —
+    # shapes agree by construction), and loading + collate both run in the
+    # DataLoader worker pool (the round-4 trainer was collate-bound on the
+    # consumer thread).
     bucket_grouping = bool(data.get("bucket_grouping")) and buckets is not None
-    if bucket_grouping and jax.process_count() > 1:
-        # Each host's regrouper would pick batch shapes (bucket N) and batch
-        # counts from its own local sample stream, but the DP assembly
-        # (parallel/mesh.py make_array_from_process_local_data) requires
-        # identical local shapes on every process at each step — divergent
-        # buckets deadlock the collectives. Until the bucket choice is
-        # synchronized across hosts, refuse loudly rather than hang.
-        raise NotImplementedError(
-            "data.bucket_grouping is single-host only: hosts would pick "
-            "divergent bucket shapes/batch counts and deadlock the DP "
-            "collectives. Use data.buckets (per-batch bucketing, shape-"
-            "deterministic given the global batch) or disable grouping."
-        )
     global_batch = int(data["batch_size"])
     start, stop = local_batch_slice(global_batch)
     local_batch = stop - start
@@ -99,39 +91,57 @@ def build_dataloaders(config, laf_converter):
     )
     workers = int(data.get("dataloader_workers", 2))
 
-    def make_loader(ds, collate, sampler, drop_last=True):
+    def make_train_loader():
         if not bucket_grouping:
             return DataLoader(
-                ds, batch_size=local_batch, collate_fn=collate,
-                sampler=sampler, num_workers=workers,
+                train_ds, batch_size=local_batch, collate_fn=train_collate,
+                sampler=iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
+                num_workers=workers,
             )
-        # workers load raw samples in parallel (collate deferred: the
-        # identity "collate" returns the sample list); the consumer-side
-        # regrouper forms same-bucket batches and collates them
-        from openglue_tpu.data.bucketing import BucketGroupedBatches
+        from openglue_tpu.data.bucketing import BucketGroupedIndexBatches
 
-        chunks = DataLoader(
-            ds, batch_size=local_batch, collate_fn=list,
-            sampler=sampler, num_workers=workers, drop_last=False,
+        # GLOBAL sampler stream (shard_index=0 on every host) — the grouped
+        # schedule must be host-invariant; distribution happens by slicing
+        # each global batch (local_slice), not by decorrelated streams
+        global_stream = iter(
+            BalancedSceneSampler(
+                train_ds.index.scene_sizes(), num_shards=1, shard_index=0
+            )
         )
-        samples = (s for chunk in chunks for s in chunk)
-        return BucketGroupedBatches(
-            samples, batch_size=local_batch, buckets=buckets,
-            collate_fn=collate, drop_last=drop_last,
+        groups = BucketGroupedIndexBatches(
+            global_stream, train_ds.keypoint_count,
+            batch_size=global_batch, buckets=buckets,
+            local_slice=(start, stop),
+        )
+        return DataLoader(
+            train_ds, batch_size=local_batch, collate_fn=train_collate,
+            batch_sampler=iter(groups), num_workers=workers,
         )
 
-    train_loader = make_loader(
-        train_ds, train_collate,
-        iter(BalancedSceneSampler(train_ds.index.scene_sizes())),
-    )
     # drop_last=False for validation: the ungrouped val DataLoader keeps the
     # trailing partial batch, so the grouped path must too — val metrics must
-    # not change based on a throughput flag.
-    val_loader_fn = lambda: make_loader(
-        val_ds, val_collate, iter(ShardedSequentialSampler(len(val_ds))),
-        drop_last=False,
-    )
-    return train_loader, val_loader_fn
+    # not change based on a throughput flag. Val grouping is PER-HOST (no
+    # local_slice): the eval jit runs on local arrays, only the metric sync
+    # at the end is collective, so shapes need not match across hosts.
+    def make_val_loader():
+        sampler = iter(ShardedSequentialSampler(len(val_ds)))
+        if not bucket_grouping:
+            return DataLoader(
+                val_ds, batch_size=local_batch, collate_fn=val_collate,
+                sampler=sampler, num_workers=workers, drop_last=False,
+            )
+        from openglue_tpu.data.bucketing import BucketGroupedIndexBatches
+
+        groups = BucketGroupedIndexBatches(
+            sampler, val_ds.keypoint_count,
+            batch_size=local_batch, buckets=buckets, drop_last=False,
+        )
+        return DataLoader(
+            val_ds, batch_size=local_batch, collate_fn=val_collate,
+            batch_sampler=iter(groups), num_workers=workers, drop_last=False,
+        )
+
+    return make_train_loader(), make_val_loader
 
 
 def main(argv=None):
@@ -243,6 +253,19 @@ def main(argv=None):
     eval_step_fn = make_eval_step(float(config.get("inference.match_threshold", 0.2)))
     # eval outputs come back to host for RANSAC; keep them on data sharding
     eval_step = jax.jit(eval_step_fn)
+
+    buckets_cfg = config.get("data.buckets")
+    if buckets_cfg and bool(config.get("train.precompile_buckets", True)) and not args.checkify:
+        # one up-front warmup per bucket shape instead of multi-minute
+        # compile stalls on each bucket's first mid-epoch appearance
+        from openglue_tpu.train.loop import precompile_buckets
+
+        num_kpts = int(config.get("data.max_keypoints", 1024))
+        sizes = sorted({min(int(b), num_kpts) for b in buckets_cfg})
+        precompile_buckets(
+            train_step, state, first, sizes,
+            shard_fn=lambda b: shard_batch(b, mesh),
+        )
 
     import itertools
 

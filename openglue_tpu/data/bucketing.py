@@ -47,6 +47,52 @@ def pair_keypoint_count(sample: Dict) -> int:
     return max(sample["lafs0"].shape[0], sample["lafs1"].shape[0])
 
 
+def iter_bucket_groups(
+    items: Iterable,
+    key_fn: Callable[[object], int],
+    batch_size: int,
+    buckets: Sequence[int],
+    drop_last: bool = True,
+    num_batches: Optional[int] = None,
+) -> Iterator[tuple]:
+    """Core grouping loop shared by sample-level and index-level grouping:
+    accumulate items in per-bucket buffers, yield ``(bucket, items)`` when a
+    buffer fills; at exhaustion merge leftovers largest-bucket-first (mixed
+    tail batches carry the bucket of their largest member). Deterministic
+    given (items, key_fn) — the property host-invariant grouping relies on.
+
+    Buffered items are bounded by ``len(buckets) * (batch_size - 1)``."""
+    buckets = tuple(sorted(buckets))
+    buffers: Dict[int, List] = {b: [] for b in buckets}
+    emitted = 0
+
+    def done() -> bool:
+        return num_batches is not None and emitted >= num_batches
+
+    for item in items:
+        if done():
+            return
+        b = choose_bucket(key_fn(item), buckets)
+        buf = buffers[b]
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield b, buf
+            emitted += 1
+            buffers[b] = []
+    # tail: merge leftovers largest-first so mixed batches pad upward only as
+    # far as their largest member requires
+    leftovers: List[tuple] = []
+    for b in reversed(buckets):
+        leftovers.extend((b, item) for item in buffers[b])
+    while len(leftovers) >= batch_size and not done():
+        chunk = leftovers[:batch_size]
+        yield max(b for b, _ in chunk), [item for _, item in chunk]
+        emitted += 1
+        leftovers = leftovers[batch_size:]
+    if leftovers and not drop_last and not done():
+        yield max(b for b, _ in leftovers), [item for _, item in leftovers]
+
+
 class BucketGroupedBatches:
     """Regroup an iterable of SAMPLES into same-bucket batches.
 
@@ -81,30 +127,81 @@ class BucketGroupedBatches:
         self.num_batches = num_batches
 
     def __iter__(self) -> Iterator:
-        buffers: Dict[int, List[Dict]] = {b: [] for b in self.buckets}
-        emitted = 0
+        for _bucket, samples in iter_bucket_groups(
+            self.samples,
+            self.bucket_key,
+            self.batch_size,
+            self.buckets,
+            drop_last=self.drop_last,
+            num_batches=self.num_batches,
+        ):
+            yield self.collate_fn(samples)
 
-        def done() -> bool:
-            return self.num_batches is not None and emitted >= self.num_batches
 
-        for sample in self.samples:
-            if done():
-                return
-            b = choose_bucket(self.bucket_key(sample), self.buckets)
-            buf = buffers[b]
-            buf.append(sample)
-            if len(buf) == self.batch_size:
-                yield self.collate_fn(buf)
-                emitted += 1
-                buffers[b] = []
-        # tail: merge leftovers largest-first so mixed batches pad upward
-        # only as far as their largest member requires
-        leftovers: List[Dict] = []
-        for b in reversed(self.buckets):
-            leftovers.extend(buffers[b])
-        while len(leftovers) >= self.batch_size and not done():
-            yield self.collate_fn(leftovers[: self.batch_size])
-            emitted += 1
-            leftovers = leftovers[self.batch_size:]
-        if leftovers and not self.drop_last and not done():
-            yield self.collate_fn(leftovers)
+class BucketGroupedIndexBatches:
+    """Host-invariant bucket grouping computed on INDICES + cheap counts
+    (VERDICT round-4 #5: synchronize bucket-grouped batching across hosts).
+
+    ``BucketGroupedBatches`` groups LOADED samples, so each host's regrouper
+    picks batch shapes from its own local stream — divergent bucket choices
+    deadlock the multi-host DP collectives (each step's
+    make_array_from_process_local_data needs identical local shapes on every
+    process). Here grouping runs on a GLOBAL index stream with a cheap
+    ``count_fn`` (e.g. MegaDepthPairsDatasetFeatures.keypoint_count — h5
+    dataset-shape metadata, no data reads), so every host computes the
+    identical ``(bucket, global_indices)`` schedule by construction; each
+    host then loads and collates only ``indices[start:stop]`` of its slice.
+
+    Yields ``(local_indices, {"force_bucket": bucket})`` — the batch-sampler
+    contract of data/loader.py DataLoader, which runs the collate in its
+    worker pool. ``force_bucket`` is required because post-crop counts on a
+    host's slice can be smaller than the group's bucket; deriving the pad
+    from local members would desynchronize shapes again.
+
+    Single host is the ``local_slice=(0, batch_size)`` special case — the
+    same schedule, whole batches. The mild difference vs sample-level
+    grouping is the PRE-crop bucket key: a crop that drops many keypoints
+    can leave a batch one bucket larger than strictly needed (padding
+    efficiency, never correctness).
+    """
+
+    def __init__(
+        self,
+        indices: Iterable[int],
+        count_fn: Callable[[int], int],
+        batch_size: int,
+        buckets: Sequence[int],
+        local_slice: Optional[tuple] = None,
+        drop_last: bool = True,
+        num_batches: Optional[int] = None,
+    ):
+        self.indices = indices
+        self.count_fn = count_fn
+        self.batch_size = batch_size
+        self.buckets = tuple(sorted(buckets))
+        self.local_slice = local_slice
+        self.drop_last = drop_last
+        self.num_batches = num_batches
+
+    def __iter__(self) -> Iterator[tuple]:
+        for bucket, idxs in iter_bucket_groups(
+            self.indices,
+            self.count_fn,
+            self.batch_size,
+            self.buckets,
+            drop_last=self.drop_last,
+            num_batches=self.num_batches,
+        ):
+            if self.local_slice is None:
+                yield idxs, {"force_bucket": bucket}
+                continue
+            start, stop = self.local_slice
+            if len(idxs) < self.batch_size:
+                # partial tail (drop_last=False): slicing it would give
+                # UNEVEN local batch sizes across hosts — every host computes
+                # the same len(idxs), so every host drops it identically.
+                # (Sliced mode is for the DP train step, whose collectives
+                # need matching shapes; per-host eval should group its own
+                # local stream without a slice instead.)
+                continue
+            yield idxs[start:stop], {"force_bucket": bucket}

@@ -60,6 +60,7 @@ def stack_keypoints_batch(
     log_response: bool = False,
     rng: Optional[np.random.Generator] = None,
     buckets: Optional[Sequence[int]] = None,
+    force_bucket: Optional[int] = None,
 ) -> PairBatch:
     """Collate cached-feature sample dicts into a PairBatch of numpy arrays.
 
@@ -70,12 +71,20 @@ def stack_keypoints_batch(
     ``buckets``: optional static bucket sizes (data/bucketing.py) — the batch
     is padded to the smallest bucket fitting its largest real keypoint count
     (capped by target_num_keypoints) instead of always target_num_keypoints.
+
+    ``force_bucket``: pad to exactly this bucket (still capped by
+    target_num_keypoints), ignoring the members' counts — required by
+    host-invariant bucket grouping (BucketGroupedIndexBatches), where the pad
+    is chosen globally from pre-crop counts and a host's local slice must not
+    re-derive a smaller one.
     """
     rng = rng or np.random.default_rng()
     laf_converter = laf_converter or LAFConverter()
     batch = len(samples)
 
-    if buckets is not None:
+    if force_bucket is not None:
+        target_num_keypoints = min(int(force_bucket), target_num_keypoints)
+    elif buckets is not None:
         from openglue_tpu.data.bucketing import batch_bucket
 
         counts = [
@@ -143,3 +152,47 @@ def stack_keypoints_batch(
         depth1=np.stack(depths[1]),
     )
     return PairBatch(side0=sides[0], side1=sides[1], transformation=tf)
+
+
+def resize_keypoint_axis(batch: PairBatch, n: int) -> PairBatch:
+    """Pad (zeros + False mask) or truncate every per-keypoint array of a
+    PairBatch to ``n`` keypoints — dummy-shape construction for the trainer's
+    up-front per-bucket compile warmup (train/loop.py precompile_buckets).
+    Derived from a REAL batch so the warmup step sees benign values (valid
+    masks, finite depths). Per-keypoint depth [B, N] resizes with the
+    keypoint axis; dense depth maps [B, H, W] pass through untouched."""
+
+    def fix(x):
+        x = np.asarray(x)
+        cur = x.shape[1]
+        if cur == n:
+            return x
+        if cur > n:
+            return x[:, :n]
+        pad = [(0, 0), (0, n - cur)] + [(0, 0)] * (x.ndim - 2)
+        return np.pad(x, pad)
+
+    def fix_side(s: KeypointSet) -> KeypointSet:
+        return KeypointSet(
+            keypoints=fix(s.keypoints),
+            descriptors=fix(s.descriptors),
+            side_info=fix(s.side_info),
+            mask=fix(s.mask),
+            image_size=np.asarray(s.image_size),
+        )
+
+    tf = batch.transformation
+    if tf is not None:
+        fix_depth = lambda d: (
+            fix(d) if d is not None and np.ndim(d) == 2 else d
+        )
+        tf = Transformation(
+            kind=tf.kind,
+            H=tf.H,
+            K0=tf.K0, K1=tf.K1, R=tf.R, T=tf.T,
+            depth0=fix_depth(tf.depth0),
+            depth1=fix_depth(tf.depth1),
+        )
+    return PairBatch(
+        side0=fix_side(batch.side0), side1=fix_side(batch.side1), transformation=tf
+    )

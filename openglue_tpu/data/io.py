@@ -31,6 +31,24 @@ def load_h5(path: PathLike, key: Optional[str] = None) -> np.ndarray:
         return np.asarray(f[keys[0]])
 
 
+def h5_dataset_shape(path: PathLike, key: Optional[str] = None) -> Tuple[int, ...]:
+    """Shape of the (single) dataset WITHOUT reading its data — h5py serves
+    shapes from the object header, so this costs one metadata read. Used for
+    cheap bucket keys (keypoint counts from the ``*_scores.h5`` cache files)
+    in host-invariant bucket grouping (data/bucketing.py)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if key is not None:
+            return tuple(f[key].shape)
+        if "data" in f:
+            return tuple(f["data"].shape)
+        keys = [k for k in f.keys() if isinstance(f[k], h5py.Dataset)]
+        if len(keys) != 1:
+            raise ValueError(f"{path}: ambiguous h5 keys {list(f.keys())}, pass key=")
+        return tuple(f[keys[0]].shape)
+
+
 def save_h5(path: PathLike, array: np.ndarray, key: str = "data") -> None:
     import h5py
 

@@ -33,7 +33,14 @@ class DataLoader:
         prefetch: int = 4,
         num_batches: Optional[int] = None,
         drop_last: bool = True,
+        batch_sampler: Optional[Iterable] = None,
     ):
+        """``batch_sampler``: pre-formed index batches instead of
+        (sampler, batch_size) chunking — each item is either a sequence of
+        dataset indices or ``(indices, collate_kwargs)``, with the kwargs
+        forwarded to collate_fn (the contract BucketGroupedIndexBatches uses
+        to carry ``force_bucket``). Loading AND collation still run in the
+        worker pool."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -42,18 +49,30 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_batches = num_batches
         self.drop_last = drop_last
+        self.batch_sampler = batch_sampler
 
-    def _index_batches(self) -> Iterator[Sequence[int]]:
+    def _index_batches(self) -> Iterator[tuple]:
+        """Yields (indices, collate_kwargs) pairs."""
+        if self.batch_sampler is not None:
+            for item in self.batch_sampler:
+                if (
+                    isinstance(item, tuple)
+                    and len(item) == 2
+                    and isinstance(item[1], dict)
+                ):
+                    yield item
+                else:
+                    yield item, {}
+            return
         indices = iter(self.sampler) if self.sampler is not None else iter(range(len(self.dataset)))
-        batches = []
         batch = []
         for idx in indices:
             batch.append(idx)
             if len(batch) == self.batch_size:
-                yield batch
+                yield batch, {}
                 batch = []
         if batch and not self.drop_last:
-            yield batch
+            yield batch, {}
 
     def __iter__(self) -> Iterator:
         batches = self._index_batches()
@@ -61,8 +80,8 @@ class DataLoader:
             batches = itertools.islice(batches, self.num_batches)
 
         if self.num_workers == 0:
-            for idx_batch in batches:
-                yield self.collate_fn([self.dataset[i] for i in idx_batch])
+            for idx_batch, kwargs in batches:
+                yield self.collate_fn([self.dataset[i] for i in idx_batch], **kwargs)
             return
 
         idx_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * 2)
@@ -83,12 +102,21 @@ class DataLoader:
         results_cv = threading.Condition(results_lock)
 
         def feeder():
-            for seq, idx_batch in enumerate(batches):
-                if stop.is_set():
-                    break
-                idx_q.put((seq, idx_batch))
-            for _ in range(self.num_workers):
-                idx_q.put(_SENTINEL)
+            try:
+                for seq, idx_batch in enumerate(batches):
+                    if stop.is_set():
+                        break
+                    idx_q.put((seq, idx_batch))
+            except Exception as exc:
+                # a sampler/batch_sampler that raises must surface in the
+                # consumer, not die silently in this thread (the consumer
+                # would otherwise wait forever on results that never come)
+                with results_cv:
+                    results[-2] = exc
+                    results_cv.notify_all()
+            finally:
+                for _ in range(self.num_workers):
+                    idx_q.put(_SENTINEL)
 
         def worker():
             while not stop.is_set():
@@ -98,14 +126,14 @@ class DataLoader:
                         results[-1] = results.get(-1, 0) + 1  # worker-done count
                         results_cv.notify_all()
                     return
-                seq, idx_batch = item
+                seq, (idx_batch, kwargs) = item
                 with results_cv:
                     while seq >= consumed[0] + window and not stop.is_set():
                         results_cv.wait(timeout=0.1)
                 if stop.is_set():
                     return
                 try:
-                    batch = self.collate_fn([self.dataset[i] for i in idx_batch])
+                    batch = self.collate_fn([self.dataset[i] for i in idx_batch], **kwargs)
                 except Exception as exc:  # propagate to consumer
                     batch = exc
                 with results_cv:
@@ -121,10 +149,16 @@ class DataLoader:
             seq = 0
             while True:
                 with results_cv:
-                    while seq not in results and results.get(-1, 0) < self.num_workers:
+                    while (
+                        seq not in results
+                        and -2 not in results
+                        and results.get(-1, 0) < self.num_workers
+                    ):
                         results_cv.wait(timeout=0.1)
                     if seq in results:
                         batch = results.pop(seq)
+                    elif -2 in results:  # feeder (sampler) exception
+                        raise results.pop(-2)
                     elif results.get(-1, 0) >= self.num_workers:
                         return
                     else:

@@ -173,9 +173,38 @@ class MegaDepthPairsDatasetFeatures:
         self.target_size = tuple(target_size)
         self.random_crop = random_crop
         self.rng = np.random.default_rng(seed)
+        self._count_cache: Dict[Tuple[str, str], int] = {}
 
     def __len__(self) -> int:
         return len(self.index)
+
+    def _image_keypoint_count(self, scene: str, img_name: str) -> int:
+        key = (scene, img_name)
+        count = self._count_cache.get(key)
+        if count is None:
+            from openglue_tpu.data.io import h5_dataset_shape
+
+            base_name = img_name.rsplit(".", 1)[0] if "." in img_name else img_name
+            count = int(
+                h5_dataset_shape(self.features_base_dir / scene / f"{base_name}_scores.h5")[0]
+            )
+            self._count_cache[key] = count
+        return count
+
+    def keypoint_count(self, idx: int) -> int:
+        """Cheap bucket key for host-invariant bucket grouping: the larger
+        side's DETECTOR keypoint count, read from the ``*_scores.h5`` dataset
+        shape (metadata only — no feature/image data is touched, so every
+        host can key the full global sample stream). This is the PRE-crop
+        count: cropping only removes keypoints, so the bucket chosen from it
+        always fits the loaded sample (it may overshoot by one bucket when a
+        crop drops many keypoints — a padding-efficiency cost, never a
+        correctness one)."""
+        rec = self.index[idx]
+        return max(
+            self._image_keypoint_count(rec.scene, rec.img0),
+            self._image_keypoint_count(rec.scene, rec.img1),
+        )
 
     def _load_side(self, scene: str, img_name: str, K: np.ndarray):
         import cv2

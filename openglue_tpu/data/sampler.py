@@ -31,6 +31,14 @@ class BalancedSceneSampler:
             num_shards = jax.process_count()
             shard_index = jax.process_index()
         self.scenes: List[str] = [s for s, n in scene_sizes.items() if n > 0]
+        if not self.scenes:
+            # fail at construction with a diagnosable message instead of a
+            # ValueError deep in the loader's feeder thread mid-training
+            raise ValueError(
+                "BalancedSceneSampler: no scene has any pairs — check the "
+                f"scene list against the dataset root (got {len(scene_sizes)} "
+                "scenes, all empty or missing pairs.txt)"
+            )
         self.sizes = [scene_sizes[s] for s in self.scenes]
         # flat-index offset of each scene (index layout of MegaDepthPairsIndex)
         offsets, off = [], 0

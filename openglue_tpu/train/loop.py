@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -47,6 +47,11 @@ class TrainLoopConfig:
     # utils/train_utils.py:41): the per-step schedule is deterministic, so
     # the loop logs lr_schedule(step) host-side — no device sync
     lr_schedule: Optional[Callable[[int], float]] = None
+    # keep this many batches sharded/transferred AHEAD of the step being
+    # dispatched: jax dispatch is async, so batch k+1's host->device transfer
+    # (and the loader's next() behind it) rides under batch k's device
+    # compute instead of serializing with it. 0 disables.
+    device_prefetch: int = 2
 
 
 def _is_main_host() -> bool:
@@ -114,6 +119,21 @@ class MetricsLogger:
             self.wandb_run.finish()
 
 
+def _shard_eval_batch(batch, shard_fn: Optional[Callable]):
+    """Place an eval batch on the mesh, tolerating partial tail batches.
+
+    Validation keeps the trailing partial batch (metrics must see every
+    pair), but a tail smaller than the mesh's data axis cannot be sharded
+    over it — fall back to letting the (plain-jit) eval step place it
+    unsharded rather than dropping the pairs or crashing the sweep."""
+    if shard_fn is None:
+        return batch
+    try:
+        return shard_fn(batch)
+    except ValueError:
+        return batch
+
+
 def evaluate(
     state: MatcherTrainState,
     eval_step: Callable,
@@ -126,8 +146,7 @@ def evaluate(
     epipolar = EpipolarDistanceMetric(config.eval_threshold)
     pose_auc = CameraPoseAUC(config.pose_auc_thresholds, config.ransac_thresh_px)
     for batch in eval_batches:
-        if shard_fn is not None:
-            batch = shard_fn(batch)
+        batch = _shard_eval_batch(batch, shard_fn)
         out = eval_step(state, batch)
         tf = batch.transformation
         kpts0 = np.asarray(batch.side0.keypoints)
@@ -159,8 +178,7 @@ def evaluate_online(
     pose_auc = CameraPoseAUC(config.pose_auc_thresholds, config.ransac_thresh_px)
     homography = HomographyPrecisionMetric()
     for batch in eval_batches:
-        if shard_fn is not None:
-            batch = shard_fn(batch)
+        batch = _shard_eval_batch(batch, shard_fn)
         out = eval_step(state, batch)
         tf = batch["transformation"]
         kpts0 = np.asarray(out["keypoints0"])
@@ -185,6 +203,65 @@ def evaluate_online(
     return metrics
 
 
+def prefetch_to_device(
+    batches: Iterable, shard_fn: Callable, depth: int = 2
+) -> Iterable:
+    """Yield device-placed batches, keeping up to ``depth`` placed AHEAD of
+    the consumer. After a batch is yielded (and its step dispatched — async),
+    the generator resumes and shards the NEXT batch, so the host loader +
+    H2D transfer overlap the in-flight device step instead of serializing
+    with it (VERDICT round-4 #1c)."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(batches)
+
+    def fill():
+        while len(buf) < depth:
+            try:
+                buf.append(shard_fn(next(it)))
+            except StopIteration:
+                return False
+        return True
+
+    fill()
+    while buf:
+        yield buf.popleft()
+        fill()
+
+
+def precompile_buckets(
+    step_fn: Callable,
+    state: MatcherTrainState,
+    example_batch,
+    bucket_sizes: Sequence[int],
+    shard_fn: Optional[Callable] = None,
+) -> None:
+    """Up-front compile warmup for bucketed training (VERDICT round-4 #7a;
+    serving counterpart: cli/inference.py precompile): execute the step once
+    per bucket shape on a dummy derived from a real batch, discarding the
+    outputs. Without this, each bucket's FIRST appearance mid-epoch pays its
+    own program compile — multi-minute silences that look exactly like the
+    hangs this environment is prone to (BASELINE.md round-4 trainer proof).
+
+    jit compilation blocks the host at dispatch, so the printed per-bucket
+    wall time IS the compile time; the dummy step's execution is async and
+    deliberately never fetched (a fetch would add a tunnel sync)."""
+    from openglue_tpu.data.collate import resize_keypoint_axis
+
+    for n in sorted({int(b) for b in bucket_sizes}):
+        t0 = time.time()
+        dummy = resize_keypoint_axis(example_batch, n)
+        if shard_fn is not None:
+            dummy = shard_fn(dummy)
+        step_fn(state, dummy)  # outputs discarded; state is not advanced
+        if _is_main_host():
+            print(
+                f"precompiled bucket N={n} in {time.time() - t0:.1f}s",
+                flush=True,
+            )
+
+
 def fit(
     state: MatcherTrainState,
     train_step: Callable,
@@ -201,6 +278,15 @@ def fit(
     logger = MetricsLogger.from_config(config)
     rng = jax.random.key(config.seed)
     train_iter = iter(train_batches)
+    if shard_fn is not None and config.device_prefetch > 0:
+        # loader next() + H2D of batch k+1 overlap the (async-dispatched)
+        # device step k
+        train_iter = iter(prefetch_to_device(train_iter, shard_fn, config.device_prefetch))
+        get_batch = lambda: next(train_iter)
+    elif shard_fn is not None:
+        get_batch = lambda: shard_fn(next(train_iter))
+    else:
+        get_batch = lambda: next(train_iter)
     # host-side step counter: reading state.step every step would force a
     # host-device sync on the hot path and kill async dispatch
     step_idx = int(state.step)
@@ -214,9 +300,7 @@ def fit(
                 and step_idx % config.favor_redraw_interval == 0
             ):
                 state = redraw_favor_projections(state, rng)
-            batch = next(train_iter)
-            if shard_fn is not None:
-                batch = shard_fn(batch)
+            batch = get_batch()
             if step_takes_rng:
                 state, metrics = train_step(state, batch, rng)
             else:

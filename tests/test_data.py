@@ -209,6 +209,25 @@ class TestLoader:
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
 
+    def test_sampler_exception_propagates_to_consumer(self):
+        # an exception raised by the sampler/batch_sampler iterator surfaces
+        # in the consumer instead of silently killing the feeder thread and
+        # blocking __iter__ forever (found by the round-5 verify drive)
+        def bad_sampler():
+            yield from (1, 2, 3)
+            raise RuntimeError("sampler boom")
+
+        loader = DataLoader(
+            list(range(10)), batch_size=2, collate_fn=sum,
+            sampler=bad_sampler(), num_workers=2,
+        )
+        with pytest.raises(RuntimeError, match="sampler boom"):
+            list(loader)
+
+    def test_empty_scene_sampler_raises_at_construction(self):
+        with pytest.raises(ValueError, match="no scene has any pairs"):
+            BalancedSceneSampler({"a": 0}, num_shards=1, shard_index=0)
+
     def test_infinite_sampler_bounded(self):
         loader = DataLoader(
             list(range(10)),
@@ -374,6 +393,127 @@ class TestBucketing:
             num_batches=5,
         )
         assert len(list(grouped)) == 5
+
+
+class TestHostInvariantGrouping:
+    """BucketGroupedIndexBatches (VERDICT round-4 #5): grouping computed on
+    indices + cheap counts, identically on every host; slices partition each
+    global batch; the DataLoader runs collate (with the carried force_bucket)
+    in its worker pool."""
+
+    BUCKETS = (256, 1024)
+
+    @staticmethod
+    def _counts(i):
+        return 100 if i % 2 else 900
+
+    def test_schedule_identical_across_hosts_and_slices_partition(self):
+        from openglue_tpu.data.bucketing import BucketGroupedIndexBatches
+
+        stream = list(range(64))
+        make = lambda sl: list(
+            BucketGroupedIndexBatches(
+                iter(stream), self._counts, batch_size=8,
+                buckets=self.BUCKETS, local_slice=sl,
+            )
+        )
+        full, h0, h1 = make(None), make((0, 4)), make((4, 8))
+        assert len(full) == len(h0) == len(h1) == 8
+        for (idxs, kw), (a, kw0), (b, kw1) in zip(full, h0, h1):
+            assert kw == kw0 == kw1
+            assert list(a) + list(b) == list(idxs)
+            assert kw["force_bucket"] in self.BUCKETS
+            # uniform groups: every member keys to the group bucket
+            assert all(
+                kw["force_bucket"]
+                == (256 if self._counts(i) <= 256 else 1024)
+                for i in idxs
+            )
+
+    def test_sliced_mode_drops_partial_tail(self):
+        from openglue_tpu.data.bucketing import BucketGroupedIndexBatches
+
+        stream = list(range(6))  # batch 4, keep_last: tail of 2
+        unsliced = list(
+            BucketGroupedIndexBatches(
+                iter(stream), self._counts, batch_size=4,
+                buckets=self.BUCKETS, drop_last=False,
+            )
+        )
+        assert len(unsliced) == 2 and len(unsliced[1][0]) == 2
+        sliced = list(
+            BucketGroupedIndexBatches(
+                iter(stream), self._counts, batch_size=4,
+                buckets=self.BUCKETS, drop_last=False, local_slice=(0, 2),
+            )
+        )
+        # the partial tail would give uneven per-host batches — dropped
+        assert len(sliced) == 1 and len(sliced[0][0]) == 2
+
+    def test_loader_batch_sampler_forwards_collate_kwargs(self):
+        data = list(range(100))
+        batches = [
+            ([1, 2, 3], {"force_bucket": 64}),
+            ([4, 5], {"force_bucket": 16}),
+            [7, 8],  # bare index batch: no kwargs
+        ]
+        loader = DataLoader(
+            data, batch_size=3,
+            collate_fn=lambda xs, force_bucket=None: (sum(xs), force_bucket),
+            batch_sampler=iter(batches), num_workers=2,
+        )
+        assert list(loader) == [(6, 64), (9, 16), (15, None)]
+
+    def test_keypoint_count_is_precrop_metadata(self, tmp_path):
+        make_megadepth_fixture(tmp_path)  # 50 stored kpts per image
+        ds = MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a"], target_size=TARGET_CACHED
+        )
+        assert ds.keypoint_count(0) == 50
+        assert ds.keypoint_count(0) == 50  # cached path
+        # the loaded (post-crop) counts are smaller, so the pre-crop key
+        # always over-covers: choose_bucket(pre) >= choose_bucket(post)
+        s = ds[0]
+        assert 0 < s["lafs0"].shape[0] <= 50
+
+    def test_force_bucket_overrides_member_counts(self, tmp_path):
+        make_megadepth_fixture(tmp_path)
+        ds = MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a"], target_size=TARGET_CACHED
+        )
+        samples = [ds[0], ds[1]]
+        batch = stack_keypoints_batch(
+            samples, target_num_keypoints=1024,
+            buckets=(64, 256, 1024), force_bucket=256,
+        )
+        # members fit bucket 64, but the global grouper said 256
+        assert batch.side0.keypoints.shape[1] == 256
+        capped = stack_keypoints_batch(
+            samples, target_num_keypoints=32, force_bucket=256
+        )
+        assert capped.side0.keypoints.shape[1] == 32
+
+    def test_resize_keypoint_axis(self, tmp_path):
+        from openglue_tpu.data.collate import resize_keypoint_axis
+
+        make_megadepth_fixture(tmp_path)
+        ds = MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a"], target_size=TARGET_CACHED
+        )
+        batch = stack_keypoints_batch(
+            [ds[0], ds[1]], target_num_keypoints=64, random=False
+        )
+        up = resize_keypoint_axis(batch, 128)
+        assert up.side0.keypoints.shape == (2, 128, 2)
+        assert up.side0.descriptors.shape[1] == 128
+        assert up.transformation.depth0.shape == (2, 128)
+        assert not up.side0.mask[:, 64:].any()
+        np.testing.assert_array_equal(
+            up.side0.keypoints[:, :64], batch.side0.keypoints
+        )
+        down = resize_keypoint_axis(batch, 32)
+        assert down.side0.keypoints.shape == (2, 32, 2)
+        assert down.transformation.depth1.shape == (2, 32)
 
 
 class TestStructuredFixture:

@@ -218,3 +218,42 @@ def test_training_on_3d_pairs_with_pose_auc():
     )
     res = auc.compute()
     assert res["AUC@20deg"] > 0.5, (auc.pose_errors, res)
+
+
+def test_prefetch_to_device_preserves_order_and_overlap_window():
+    from openglue_tpu.train.loop import prefetch_to_device
+
+    placed = []
+    fetched = []
+
+    def shard_fn(x):
+        placed.append(x)
+        return x * 10
+
+    gen = prefetch_to_device(iter(range(6)), shard_fn, depth=2)
+    out0 = next(gen)
+    assert out0 == 0
+    # after yielding batch 0, the prefetcher is (at least) `depth` ahead
+    assert placed[:2] == [0, 1]
+    fetched = [out0] + list(gen)
+    assert fetched == [0, 10, 20, 30, 40, 50]
+    assert placed == list(range(6))
+
+
+def test_precompile_buckets_warms_each_shape_without_advancing_state():
+    from openglue_tpu.train.loop import precompile_buckets
+
+    state, batch, _ = build_state()
+    seen_shapes = []
+    raw = make_train_step(LossConfig(positive_threshold=3.0, negative_threshold=5.0))
+
+    def step(s, b):
+        seen_shapes.append(b.side0.keypoints.shape[1])
+        return jax.jit(raw)(s, b)
+
+    precompile_buckets(step, state, batch, [16, 32, N_KPTS])
+    assert seen_shapes == [16, 32, N_KPTS]
+    assert int(state.step) == 0  # warmup must not advance the real state
+    # the real step still runs at the full shape afterwards
+    state2, metrics = jax.jit(raw)(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
