@@ -1,0 +1,222 @@
+"""Host-feed decomposition + steady-state product-trainer throughput
+(VERDICT round-4 #1: the round-4 proof ran ~0.8 s/step host-bound against a
+36.6 ms device step — decompose where host time goes, then prove the
+restructured pipeline feeds the chip).
+
+Phases (all on the MegaDepth-format fixture, examples/train_e2e_fixture.yaml):
+
+  sample   — ds[i] latency: h5 feature+depth read, crop, K update
+  collate  — stack_keypoints_batch on a loaded local batch (pad, depth
+             gather, LAF conversion)
+  loader   — the ASSEMBLED grouped loader (index grouping + worker-pool
+             load/collate + prefetch): steady batches/s with no device work,
+             i.e. the host feed ceiling
+  full     — the real jitted train step driven through the loader exactly as
+             cli/train_cached wires it (precompile + device prefetch),
+             steady-state s/step and effective pairs/s (TPU)
+
+Usage (TPU, from repo root):
+  PYTHONPATH=/root/.axon_site:/root/repo python -m bench.trainer_feed \
+      --config examples/train_e2e_fixture.yaml --full --steps 300
+
+Host-only decomposition runs fine on CPU (--no-full is the default).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="examples/train_e2e_fixture.yaml")
+    p.add_argument("--samples", type=int, default=48, help="samples for the ds[i] probe")
+    p.add_argument("--batches", type=int, default=40, help="batches for the loader probe")
+    p.add_argument("--full", action="store_true", help="run the jitted train loop (TPU)")
+    p.add_argument("--steps", type=int, default=300, help="steps for --full")
+    p.add_argument("--warmup-steps", type=int, default=30, help="excluded from --full timing")
+    p.add_argument("--no-precompile", action="store_true")
+    p.add_argument("--no-device-prefetch", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from openglue_tpu.cli import common
+    from openglue_tpu.cli.train_cached import build_dataloaders
+    from openglue_tpu.features.lafs import get_laf_to_sideinfo_converter
+
+    config = common.load_merged_config(args.config)
+    data = config["data"]
+    local_batch = int(data["batch_size"])  # single host
+    laf_method = config.get("superglue.laf_to_sideinfo_method", "none")
+    laf_converter = get_laf_to_sideinfo_converter(laf_method)
+
+    # ---- sample probe: raw per-sample load (h5 read + crop) -------------
+    from functools import partial
+
+    from openglue_tpu.data import MegaDepthPairsDatasetFeatures, stack_keypoints_batch
+    from pathlib import Path
+
+    root = data["root_path"]
+
+    def read_scene_list(path):
+        p = Path(path)
+        if not p.is_absolute():
+            p = Path(root) / p
+        return [s.strip() for s in p.read_text().splitlines() if s.strip()]
+
+    ds = MegaDepthPairsDatasetFeatures(
+        root, data["features_dir"], read_scene_list(data["train_list_path"]),
+        target_size=tuple(data.get("target_size", (960, 720))),
+        random_crop=True,
+        overlap=tuple(data["train_pairs_overlap"]) if data.get("train_pairs_overlap") else None,
+    )
+    idxs = [i % len(ds) for i in range(args.samples)]
+    ds[idxs[0]]  # touch caches (directory metadata etc.)
+    t0 = time.perf_counter()
+    samples = [ds[i] for i in idxs]
+    dt_sample = (time.perf_counter() - t0) / len(idxs)
+    print(f"sample: {dt_sample * 1e3:.2f} ms/sample "
+          f"({dt_sample * local_batch * 1e3:.1f} ms serial per batch of {local_batch})")
+
+    # ---- collate probe: pad + depth gather + LAF conversion -------------
+    num_kpts = int(data.get("max_keypoints", 1024))
+    collate = partial(
+        stack_keypoints_batch, target_num_keypoints=num_kpts, random=True,
+        laf_converter=laf_converter,
+        buckets=tuple(data["buckets"]) if data.get("buckets") else None,
+    )
+    group = samples[:local_batch]
+    collate(group)  # warm
+    reps = 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        collate(group)
+    dt_collate = (time.perf_counter() - t0) / reps
+    print(f"collate: {dt_collate * 1e3:.2f} ms/batch of {local_batch}")
+
+    # ---- count probe: the grouping key (h5 metadata) ---------------------
+    ds._count_cache.clear()
+    t0 = time.perf_counter()
+    for i in idxs:
+        ds.keypoint_count(i)
+    dt_count_cold = (time.perf_counter() - t0) / len(idxs)
+    t0 = time.perf_counter()
+    for i in idxs:
+        ds.keypoint_count(i)
+    dt_count_warm = (time.perf_counter() - t0) / len(idxs)
+    print(f"count key: {dt_count_cold * 1e3:.3f} ms cold / "
+          f"{dt_count_warm * 1e6:.1f} us cached per pair")
+
+    # ---- loader probe: assembled pipeline, no device --------------------
+    train_loader, _ = build_dataloaders(config, laf_converter)
+    it = iter(train_loader)
+    next(it)  # spin up workers
+    t0 = time.perf_counter()
+    shapes = []
+    for _ in range(args.batches):
+        b = next(it)
+        shapes.append(b.side0.keypoints.shape[1])
+    dt_loader = (time.perf_counter() - t0) / args.batches
+    feed_pairs = local_batch / dt_loader
+    from collections import Counter
+
+    print(f"loader: {dt_loader * 1e3:.2f} ms/batch -> host feed ceiling "
+          f"{feed_pairs:.1f} pairs/s; bucket mix {dict(Counter(shapes))}")
+    del it, train_loader
+
+    if not args.full:
+        return
+
+    # ---- full: the jitted train step through the loader (TPU) -----------
+    import jax
+
+    from openglue_tpu.core.config import load_config
+    from openglue_tpu.models.superglue import SuperGlue
+    from openglue_tpu.train import create_train_state, make_train_step
+    from openglue_tpu.train.loop import precompile_buckets, prefetch_to_device
+    from openglue_tpu.train.step import superglue_inputs
+
+    features_dir = Path(root) / data["features_dir"]
+    features_config = load_config(features_dir / "config.yaml")
+    sg_config = common.superglue_config_from(
+        config, int(features_config["descriptor_dim"]), laf_converter.side_info_dim
+    )
+    model = SuperGlue(sg_config)
+    train_loader, _ = build_dataloaders(config, laf_converter)
+    train_iter = iter(train_loader)
+    first = next(train_iter)
+    init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b)))
+    variables = init(jax.random.key(0), first)
+    jax.block_until_ready(variables)
+    state = create_train_state(
+        model.apply, variables,
+        learning_rate=float(config.get("train.lr", 1e-4)),
+        gamma=float(config.get("train.scheduler_gamma", 0.999994)),
+        gradient_clip=float(config.get("train.grad_clip", 10.0)),
+    )
+    mesh, shard_batch, shard_train_step, _ = common.build_mesh_and_sharding()
+    train_step = shard_train_step(make_train_step(common.loss_config_from(config)), mesh)
+    shard_fn = lambda b: shard_batch(b, mesh)
+
+    buckets = [min(int(b), num_kpts) for b in (data.get("buckets") or [num_kpts])]
+    if not args.no_precompile:
+        t0 = time.perf_counter()
+        precompile_buckets(train_step, state, first, buckets, shard_fn=shard_fn)
+        print(f"precompile: {time.perf_counter() - t0:.1f}s total")
+
+    batches = itertools.chain([first], train_iter)
+    if args.no_device_prefetch:
+        get = iter(shard_fn(b) for b in batches)
+    else:
+        get = iter(prefetch_to_device(batches, shard_fn, depth=2))
+
+    # timing: steps dispatch async and serialize on the device via the state
+    # dependency; a scalar fetch at the window edges syncs the chain (the
+    # tunnel's block_until_ready does not — CLAUDE.md)
+    for k in range(args.warmup_steps):
+        state, metrics = train_step(state, next(get))
+    float(metrics["total_loss"])  # sync
+    t0 = time.perf_counter()
+    host_wait = disp_wait = 0.0
+    win_next, win_disp, win_t0 = [], [], time.perf_counter()
+    for k in range(args.steps):
+        tb = time.perf_counter()
+        batch = next(get)
+        tn = time.perf_counter()
+        state, metrics = train_step(state, batch)
+        td = time.perf_counter()
+        host_wait += tn - tb
+        disp_wait += td - tn
+        win_next.append(tn - tb)
+        win_disp.append(td - tn)
+        if (k + 1) % 50 == 0:
+            import numpy as _np
+
+            wall = (time.perf_counter() - win_t0) / len(win_next)
+            print(
+                f"  steps {k - 48}-{k + 1}: wall {wall * 1e3:.1f} ms/step, "
+                f"next() p50/p90 {_np.percentile(win_next, 50) * 1e3:.1f}/"
+                f"{_np.percentile(win_next, 90) * 1e3:.1f} ms, "
+                f"dispatch p50/p90 {_np.percentile(win_disp, 50) * 1e3:.1f}/"
+                f"{_np.percentile(win_disp, 90) * 1e3:.1f} ms",
+                flush=True,
+            )
+            win_next, win_disp, win_t0 = [], [], time.perf_counter()
+    final_loss = float(metrics["total_loss"])  # sync
+    dt = (time.perf_counter() - t0) / args.steps
+    print(
+        f"full: {dt * 1e3:.1f} ms/step steady state -> "
+        f"{local_batch / dt:.1f} effective pairs/s "
+        f"(host in next(): {host_wait / args.steps * 1e3:.1f} ms/step, "
+        f"in dispatch: {disp_wait / args.steps * 1e3:.1f} ms/step; "
+        f"loss {final_loss:.3f})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -62,17 +62,20 @@ def build_dataloaders(config, laf_converter):
     start, stop = local_batch_slice(global_batch)
     local_batch = stop - start
 
+    cache_images = int(data.get("cache_images", 64))
     train_ds = MegaDepthPairsDatasetFeatures(
         root, data["features_dir"], read_scene_list(data["train_list_path"]),
         target_size=tuple(data.get("target_size", (960, 720))),
         random_crop=True,
         overlap=tuple(data["train_pairs_overlap"]) if data.get("train_pairs_overlap") else None,
+        cache_images=cache_images,
     )
     val_ds = MegaDepthPairsDatasetFeatures(
         root, data["features_dir"], read_scene_list(data["val_list_path"]),
         target_size=tuple(data.get("target_size", (960, 720))),
         random_crop=False,
         max_pairs_per_scene=data.get("val_max_pairs_per_scene"),
+        cache_images=cache_images,
     )
 
     train_collate = partial(
@@ -89,6 +92,20 @@ def build_dataloaders(config, laf_converter):
         laf_converter=laf_converter,
         buckets=buckets,
     )
+    # bf16-compute models cast descriptors to bf16 on arrival anyway; casting
+    # them host-side halves the H2D payload (descriptors are ~97% of the
+    # batch bytes) — data/collate.py:cast_for_transfer. Runs in the worker
+    # pool. Opt out with data.transfer_bf16: false.
+    if str(config.get("superglue.dtype") or "") in ("bfloat16", "bf16") and bool(
+        data.get("transfer_bf16", True)
+    ):
+        from openglue_tpu.data.collate import cast_for_transfer
+
+        def _bf16_collate(base):
+            return lambda samples, **kw: cast_for_transfer(base(samples, **kw))
+
+        train_collate = _bf16_collate(train_collate)
+        val_collate = _bf16_collate(val_collate)
     workers = int(data.get("dataloader_workers", 2))
 
     def make_train_loader():

@@ -101,12 +101,25 @@ class DataLoader:
         results_lock = threading.Lock()
         results_cv = threading.Condition(results_lock)
 
+        def put_checking_stop(item) -> bool:
+            """Bounded-queue put that never blocks past ``stop`` — a thread
+            parked forever in queue.put/get can be frozen inside an h5py C
+            call at interpreter shutdown while holding the HDF5 global lock,
+            deadlocking h5py's atexit close (observed: clean script exit hung
+            forever after the consumer stopped mid-stream)."""
+            while not stop.is_set():
+                try:
+                    idx_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def feeder():
             try:
                 for seq, idx_batch in enumerate(batches):
-                    if stop.is_set():
+                    if not put_checking_stop((seq, idx_batch)):
                         break
-                    idx_q.put((seq, idx_batch))
             except Exception as exc:
                 # a sampler/batch_sampler that raises must surface in the
                 # consumer, not die silently in this thread (the consumer
@@ -116,11 +129,14 @@ class DataLoader:
                     results_cv.notify_all()
             finally:
                 for _ in range(self.num_workers):
-                    idx_q.put(_SENTINEL)
+                    put_checking_stop(_SENTINEL)
 
         def worker():
             while not stop.is_set():
-                item = idx_q.get()
+                try:
+                    item = idx_q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
                 if item is _SENTINEL:
                     with results_cv:
                         results[-1] = results.get(-1, 0) + 1  # worker-done count
@@ -172,3 +188,16 @@ class DataLoader:
                 seq += 1
         finally:
             stop.set()
+            with results_cv:
+                results_cv.notify_all()
+            # join so no thread is still inside an h5/cv2 C call (GIL
+            # released, HDF5 lock held) when the interpreter finalizes —
+            # daemon threads frozen there deadlock h5py's atexit close
+            try:
+                for t in threads:
+                    t.join(timeout=5.0)
+            except Exception:
+                # generator finalized during interpreter shutdown: threading
+                # internals may already be torn down — threads are daemonic,
+                # nothing left to clean up
+                pass

@@ -166,6 +166,7 @@ class MegaDepthPairsDatasetFeatures:
         max_pairs_per_scene: Optional[int] = None,
         overlap: Optional[Tuple[float, float]] = None,
         seed: int = 0,
+        cache_images: int = 64,
     ):
         self.index = MegaDepthPairsIndex(root_path, scenes_list, max_pairs_per_scene, overlap)
         self.root_path = Path(root_path)
@@ -174,6 +175,18 @@ class MegaDepthPairsDatasetFeatures:
         self.random_crop = random_crop
         self.rng = np.random.default_rng(seed)
         self._count_cache: Dict[Tuple[str, str], int] = {}
+        # LRU of PRE-crop per-image arrays (features + extraction-size depth).
+        # Each image appears in many pairs (MegaDepth pairs are dense within a
+        # scene), and the depth h5 read dominates per-sample host time
+        # (~11 ms of 14.6 ms/side on the fixture — bench/trainer_feed.py);
+        # caching turns repeat loads into cheap crop math. ~5 MB/entry at
+        # flagship sizes; 0 disables. Entries are treated as immutable —
+        # the crop path copies before mutating.
+        self.cache_images = int(cache_images)
+        self._image_cache: "OrderedDict[Tuple[str, str], tuple]" = OrderedDict()
+        import threading
+
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.index)
@@ -206,12 +219,20 @@ class MegaDepthPairsDatasetFeatures:
             self._image_keypoint_count(rec.scene, rec.img1),
         )
 
-    def _load_side(self, scene: str, img_name: str, K: np.ndarray):
+    def _load_image_raw(self, scene: str, img_name: str):
+        """PRE-crop per-image arrays (cache unit): features at extraction
+        size, depth resized to extraction size, original/extraction sizes.
+        Returned arrays are shared with the cache — callers must not mutate
+        them (the crop path below filters into fresh arrays)."""
+        key = (scene, img_name)
+        with self._cache_lock:
+            entry = self._image_cache.get(key)
+            if entry is not None:
+                self._image_cache.move_to_end(key)
+                return entry
         import cv2
 
-        base_name = img_name[: -len(Path(img_name).suffix) or None]
-        if "." in img_name:
-            base_name = img_name.rsplit(".", 1)[0]
+        base_name = img_name.rsplit(".", 1)[0] if "." in img_name else img_name
         fdir = self.features_base_dir / scene
         lafs = load_h5(fdir / f"{base_name}_lafs.h5").astype(np.float32)
         scores = load_h5(fdir / f"{base_name}_scores.h5").astype(np.float32)
@@ -226,7 +247,18 @@ class MegaDepthPairsDatasetFeatures:
         # for this, megadepth_dataset.py:211-212 — depth has identical dims)
         orig_size = depth.shape[::-1]
         depth = cv2.resize(depth, tuple(int(s) for s in image_size), interpolation=cv2.INTER_NEAREST)
+        entry = (lafs, scores, descriptors, depth, image_size, orig_size)
+        if self.cache_images > 0:
+            with self._cache_lock:
+                self._image_cache[key] = entry
+                while len(self._image_cache) > self.cache_images:
+                    self._image_cache.popitem(last=False)
+        return entry
 
+    def _load_side(self, scene: str, img_name: str, K: np.ndarray):
+        lafs, scores, descriptors, depth, image_size, orig_size = self._load_image_raw(
+            scene, img_name
+        )
         K = np.diag(
             [image_size[0] / orig_size[0], image_size[1] / orig_size[1], 1.0]
         ).astype(np.float32) @ K
@@ -241,7 +273,7 @@ class MegaDepthPairsDatasetFeatures:
             depth = depth[:, start : start + tw]
             keep = (lafs[:, 0, 2] >= start) & (lafs[:, 0, 2] < start + tw)
             K = K.copy(); K[0, 2] -= start
-            lafs = lafs[keep]; lafs[:, 0, 2] -= start
+            lafs = lafs[keep]; lafs[:, 0, 2] -= start  # fresh array from the keep-filter
             scores, descriptors = scores[keep], descriptors[keep]
         elif th < image_size[1]:  # crop height
             start = (

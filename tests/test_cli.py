@@ -125,6 +125,63 @@ class TestTrainCachedCLI:
         assert (exp_dirs[0] / "features_config.yaml").exists()
         assert (exp_dirs[0] / "checkpoints").exists()
 
+    def test_bf16_transfer_cast(self, tmp_path):
+        """superglue.dtype: bfloat16 turns on the bf16 descriptor transfer
+        (data/collate.py:cast_for_transfer) — the CLI trains through it and
+        the collated batches really carry bf16 descriptors."""
+        import ml_dtypes
+        import numpy as np
+
+        make_megadepth_fixture(tmp_path, pairs_per_scene=10)
+        feat_dir = tmp_path / "features_cache"
+        write_yaml(
+            feat_dir / "config.yaml",
+            {"name": "OPENCV_SIFT", "descriptor_dim": 32, "parameters": {}},
+        )
+        (tmp_path / "train_list.txt").write_text("scene_a\n")
+        (tmp_path / "val_list.txt").write_text("scene_b\n")
+        config = {
+            "data": {
+                "root_path": str(tmp_path),
+                "train_list_path": "train_list.txt",
+                "val_list_path": "val_list.txt",
+                "features_dir": "features_cache",
+                "max_keypoints": 64,
+                "batch_size": 8,
+                "dataloader_workers": 0,
+                "target_size": list(TARGET_CACHED),
+                "val_max_pairs_per_scene": 2,
+                "train_pairs_overlap": None,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "t", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 2, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 5,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+            },
+            "evaluation": {"epipolar_dist_threshold": 5.0e-4, "camera_auc_thresholds": [5, 10, 20],
+                           "camera_auc_ransac_inliers_threshold": 1.0},
+            "inference": {"match_threshold": 0.2},
+            "superglue": {**SMALL_SUPERGLUE, "dtype": "bfloat16"},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, config)
+
+        from openglue_tpu.cli import train_cached
+        from openglue_tpu.core.config import load_config
+        from openglue_tpu.features.lafs import LAFConverter
+
+        train_loader, _ = train_cached.build_dataloaders(
+            load_config(cfg_path), LAFConverter()
+        )
+        b = next(iter(train_loader))
+        assert np.asarray(b.side0.descriptors).dtype == ml_dtypes.bfloat16
+        assert np.asarray(b.side0.keypoints).dtype == np.float32  # geometry stays f32
+
+        state = train_cached.main(["--config", str(cfg_path)])
+        assert int(state.step) == 2
+
 
 class TestExperimentConfigFields:
     """The reference's concrete-experiment config fields (analog of
