@@ -63,12 +63,19 @@ def build_dataloaders(config, laf_converter):
     local_batch = stop - start
 
     cache_images = int(data.get("cache_images", 64))
+    # data.device_descriptor_cache: keep per-image descriptor blocks resident
+    # in HBM and send only row indices per batch (data/device_cache.py) —
+    # descriptors are ~97% of batch bytes, so on an H2D-limited link this is
+    # the difference between transfer-bound and device-bound training.
+    device_cache_slots = int(data.get("device_descriptor_cache", 0))
+    device_desc = device_cache_slots > 0
     train_ds = MegaDepthPairsDatasetFeatures(
         root, data["features_dir"], read_scene_list(data["train_list_path"]),
         target_size=tuple(data.get("target_size", (960, 720))),
         random_crop=True,
         overlap=tuple(data["train_pairs_overlap"]) if data.get("train_pairs_overlap") else None,
         cache_images=cache_images,
+        device_descriptors=device_desc,
     )
     val_ds = MegaDepthPairsDatasetFeatures(
         root, data["features_dir"], read_scene_list(data["val_list_path"]),
@@ -76,17 +83,23 @@ def build_dataloaders(config, laf_converter):
         random_crop=False,
         max_pairs_per_scene=data.get("val_max_pairs_per_scene"),
         cache_images=cache_images,
+        device_descriptors=device_desc,
     )
 
+    collate_base = stack_keypoints_batch
+    if device_desc:
+        from openglue_tpu.data.collate import stack_keypoints_batch_device
+
+        collate_base = stack_keypoints_batch_device
     train_collate = partial(
-        stack_keypoints_batch,
+        collate_base,
         target_num_keypoints=num_kpts,
         random=True,
         laf_converter=laf_converter,
         buckets=buckets,
     )
     val_collate = partial(
-        stack_keypoints_batch,
+        collate_base,
         target_num_keypoints=num_kpts,
         random=False,
         laf_converter=laf_converter,
@@ -95,9 +108,12 @@ def build_dataloaders(config, laf_converter):
     # bf16-compute models cast descriptors to bf16 on arrival anyway; casting
     # them host-side halves the H2D payload (descriptors are ~97% of the
     # batch bytes) — data/collate.py:cast_for_transfer. Runs in the worker
-    # pool. Opt out with data.transfer_bf16: false.
-    if str(config.get("superglue.dtype") or "") in ("bfloat16", "bf16") and bool(
-        data.get("transfer_bf16", True)
+    # pool. Opt out with data.transfer_bf16: false. (Moot in device-cache
+    # mode: descriptors never ride the batch.)
+    if (
+        not device_desc
+        and str(config.get("superglue.dtype") or "") in ("bfloat16", "bf16")
+        and bool(data.get("transfer_bf16", True))
     ):
         from openglue_tpu.data.collate import cast_for_transfer
 
@@ -200,11 +216,28 @@ def main(argv=None):
     log_dir = common.prepare_logging_directory(config, features_config)
     train_loader, val_loader_fn = build_dataloaders(config, laf_converter)
 
+    mesh, shard_batch, shard_train_step, shard_eval_step = common.build_mesh_and_sharding()
+    device_cache_slots = int(config.get("data.device_descriptor_cache", 0) or 0)
+    if device_cache_slots > 0:
+        from openglue_tpu.data.device_cache import DeviceDescriptorCache
+
+        desc_cache = DeviceDescriptorCache(
+            device_cache_slots,
+            cap=int(config.get("data.device_cache_cap", 2048)),
+            dim=descriptor_dim,
+            mesh=mesh,
+        )
+        shard_fn = desc_cache.shard_fn(mesh)
+    else:
+        shard_fn = lambda b: shard_batch(b, mesh)
+
     train_iter = iter(train_loader)
     first = next(train_iter)
+    # device-cache mode: materialize descriptors for the init batch
+    first_for_init = shard_fn(first) if device_cache_slots > 0 else first
     # jitted init: eager init dispatches per-op over the tunnel (minutes)
     init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b)))
-    variables = init(jax.random.key(0), first)
+    variables = init(jax.random.key(0), first_for_init)
     jax.block_until_ready(variables)
     # superglue.weights: warm-start just the matcher (reference
     # superglue.py:25-27 / config_cached_sp_magicleap.yaml): .pth/.pt loads a
@@ -250,7 +283,6 @@ def main(argv=None):
     if resume_from:
         state = restore_train_state(resume_from, state)
 
-    mesh, shard_batch, shard_train_step, shard_eval_step = common.build_mesh_and_sharding()
     raw_step = make_train_step(common.loss_config_from(config))
     if args.checkify:
         # checkify composes under jit (single-host debug path; the error
@@ -279,10 +311,7 @@ def main(argv=None):
 
         num_kpts = int(config.get("data.max_keypoints", 1024))
         sizes = sorted({min(int(b), num_kpts) for b in buckets_cfg})
-        precompile_buckets(
-            train_step, state, first, sizes,
-            shard_fn=lambda b: shard_batch(b, mesh),
-        )
+        precompile_buckets(train_step, state, first, sizes, shard_fn=shard_fn)
 
     import itertools
 
@@ -294,7 +323,7 @@ def main(argv=None):
         loop_cfg,
         eval_step=eval_step,
         eval_batches_fn=val_loader_fn,
-        shard_fn=lambda b: shard_batch(b, mesh),
+        shard_fn=shard_fn,
     )
     return state
 

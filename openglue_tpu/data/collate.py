@@ -28,7 +28,11 @@ def _select_keypoints(
     random: bool,
     rng: np.random.Generator,
 ):
-    """Returns fixed-size (lafs, scores, descriptors, kpt_depth, mask)."""
+    """Returns fixed-size (lafs, scores, descriptors, kpt_depth, mask,
+    sel_idx) — sel_idx [target] int32 maps each output row to its INPUT row
+    (0 for padding rows; the mask disambiguates), so callers that keep
+    descriptors elsewhere (the device descriptor cache) can replay the
+    selection as a gather."""
     n = lafs.shape[0]
     d = descriptors.shape[1] if descriptors.ndim == 2 else 0
     out_lafs = np.zeros((target, 2, 3), np.float32)
@@ -36,11 +40,15 @@ def _select_keypoints(
     out_desc = np.zeros((target, d), np.float32)
     out_depth = np.zeros((target,), np.float32)
     out_mask = np.zeros((target,), bool)
+    sel_idx = np.zeros((target,), np.int32)
 
     if n > target:
         idx = rng.permutation(n)[:target] if random else np.argsort(-scores)[:target]
         lafs, scores, descriptors = lafs[idx], scores[idx], descriptors[idx]
+        sel_idx[:target] = idx
         n = target
+    else:
+        sel_idx[:n] = np.arange(n, dtype=np.int32)
     out_lafs[:n] = lafs
     out_scores[:n] = scores
     out_desc[:n] = descriptors
@@ -49,7 +57,7 @@ def _select_keypoints(
         ys = np.clip(lafs[:, 1, 2].astype(np.int64), 0, depth_map.shape[0] - 1)
         xs = np.clip(lafs[:, 0, 2].astype(np.int64), 0, depth_map.shape[1] - 1)
         out_depth[:n] = depth_map[ys, xs]
-    return out_lafs, out_scores, out_desc, out_depth, out_mask
+    return out_lafs, out_scores, out_desc, out_depth, out_mask, sel_idx
 
 
 def stack_keypoints_batch(
@@ -99,7 +107,7 @@ def stack_keypoints_batch(
     for image_id in (0, 1):
         all_lafs, all_scores, all_desc, all_mask = [], [], [], []
         for s in samples:
-            lafs, scores, desc, depth, mask = _select_keypoints(
+            lafs, scores, desc, depth, mask, _ = _select_keypoints(
                 s[f"lafs{image_id}"],
                 s[f"scores{image_id}"],
                 s[f"descriptors{image_id}"],
@@ -154,6 +162,124 @@ def stack_keypoints_batch(
     return PairBatch(side0=sides[0], side1=sides[1], transformation=tf)
 
 
+class DeviceDescBatch:
+    """A collated batch whose descriptors live (or will live) in the
+    device-resident descriptor cache (data/device_cache.py) instead of in
+    the batch: ``batch`` carries placeholder [B, N, 0] descriptors, and
+    ``keys/index/blocks`` let the cache shard-fn materialize the real
+    [B, N, D] descriptor arrays with a device-side gather — per-batch H2D
+    drops from the descriptor payload (~97% of bytes) to the [B, N] int32
+    index arrays. Plain attribute class (not a pytree): it only exists on
+    the host side of the shard_fn."""
+
+    __slots__ = ("batch", "keys0", "keys1", "index0", "index1", "blocks")
+
+    def __init__(self, batch, keys0, keys1, index0, index1, blocks):
+        self.batch = batch
+        self.keys0 = keys0
+        self.keys1 = keys1
+        self.index0 = index0
+        self.index1 = index1
+        self.blocks = blocks
+
+
+def stack_keypoints_batch_device(
+    samples: Sequence[Dict],
+    target_num_keypoints: int,
+    random: bool = False,
+    laf_converter: Optional[LAFConverter] = None,
+    log_response: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    buckets: Optional[Sequence[int]] = None,
+    force_bucket: Optional[int] = None,
+) -> DeviceDescBatch:
+    """stack_keypoints_batch for device-cached descriptors: samples come
+    from MegaDepthPairsDatasetFeatures(device_descriptors=True) and carry
+    the unfiltered per-image descriptor block + surviving-row indices; the
+    collate replays its keypoint selection as index math and never touches
+    descriptor bytes. Returns a DeviceDescBatch for
+    DeviceDescriptorCache.shard_fn."""
+    rng = rng or np.random.default_rng()
+    laf_converter = laf_converter or LAFConverter()
+    batch = len(samples)
+
+    if force_bucket is not None:
+        target_num_keypoints = min(int(force_bucket), target_num_keypoints)
+    elif buckets is not None:
+        from openglue_tpu.data.bucketing import batch_bucket
+
+        counts = [s[f"lafs{i}"].shape[0] for s in samples for i in (0, 1)]
+        target_num_keypoints = min(batch_bucket(counts, buckets), target_num_keypoints)
+
+    sides, indices, keys = [], {0: [], 1: []}, {0: [], 1: []}
+    depths = {0: [], 1: []}
+    blocks = {}
+    for image_id in (0, 1):
+        all_lafs, all_scores, all_mask, all_idx = [], [], [], []
+        for s in samples:
+            lafs_in = s[f"lafs{image_id}"]
+            lafs, scores, _, depth, mask, sel = _select_keypoints(
+                lafs_in,
+                s[f"scores{image_id}"],
+                np.zeros((lafs_in.shape[0], 0), np.float32),
+                s["transformation"][f"depth{image_id}"],
+                target_num_keypoints,
+                random,
+                rng,
+            )
+            orig = s[f"desc_orig_idx{image_id}"]
+            # padding rows (mask False) keep index 0 — the gather zeroes them
+            row_idx = orig[sel] if orig.shape[0] else np.zeros_like(sel)
+            key = s[f"desc_key{image_id}"]
+            blocks[key] = s[f"descriptors{image_id}"]
+            keys[image_id].append(key)
+            all_lafs.append(lafs)
+            all_scores.append(scores)
+            all_mask.append(mask)
+            all_idx.append(row_idx.astype(np.int32))
+            depths[image_id].append(depth)
+        lafs = np.stack(all_lafs)
+        scores = np.stack(all_scores)
+        mask = np.stack(all_mask)
+        indices[image_id] = np.stack(all_idx)
+
+        kpts = lafs[:, :, :, 2]
+        resp = scores[..., None]
+        if log_response:
+            resp = np.log(resp + 0.1)
+        side_info = np.concatenate(
+            [resp, np.asarray(laf_converter(lafs))], axis=-1
+        ).astype(np.float32)
+        image_size = np.stack(
+            [np.asarray(s[f"image{image_id}_size"], np.float32) for s in samples]
+        )
+        sides.append(
+            KeypointSet(
+                keypoints=kpts.astype(np.float32),
+                descriptors=np.zeros((batch, target_num_keypoints, 0), np.float32),
+                side_info=side_info,
+                mask=mask,
+                image_size=image_size,
+            )
+        )
+
+    tf = Transformation(
+        kind="3d_reprojection",
+        K0=np.stack([s["transformation"]["K0"] for s in samples]).astype(np.float32),
+        K1=np.stack([s["transformation"]["K1"] for s in samples]).astype(np.float32),
+        R=np.stack([s["transformation"]["R"] for s in samples]).astype(np.float32),
+        T=np.stack([s["transformation"]["T"] for s in samples]).astype(np.float32),
+        depth0=np.stack(depths[0]),
+        depth1=np.stack(depths[1]),
+    )
+    return DeviceDescBatch(
+        batch=PairBatch(side0=sides[0], side1=sides[1], transformation=tf),
+        keys0=keys[0], keys1=keys[1],
+        index0=indices[0], index1=indices[1],
+        blocks=blocks,
+    )
+
+
 def cast_for_transfer(batch: PairBatch, dtype=None) -> PairBatch:
     """Cast the transfer-dominant arrays (descriptors + side_info) to bf16
     for the host->device copy. At flagship shapes descriptors are ~97% of
@@ -191,7 +317,21 @@ def resize_keypoint_axis(batch: PairBatch, n: int) -> PairBatch:
     up-front per-bucket compile warmup (train/loop.py precompile_buckets).
     Derived from a REAL batch so the warmup step sees benign values (valid
     masks, finite depths). Per-keypoint depth [B, N] resizes with the
-    keypoint axis; dense depth maps [B, H, W] pass through untouched."""
+    keypoint axis; dense depth maps [B, H, W] pass through untouched.
+    DeviceDescBatch resizes its inner batch and [B, N] index arrays."""
+    if isinstance(batch, DeviceDescBatch):
+        def fix_idx(x):
+            x = np.asarray(x)
+            if x.shape[1] >= n:
+                return x[:, :n]
+            return np.pad(x, [(0, 0), (0, n - x.shape[1])])
+
+        return DeviceDescBatch(
+            batch=resize_keypoint_axis(batch.batch, n),
+            keys0=batch.keys0, keys1=batch.keys1,
+            index0=fix_idx(batch.index0), index1=fix_idx(batch.index1),
+            blocks=batch.blocks,
+        )
 
     def fix(x):
         x = np.asarray(x)

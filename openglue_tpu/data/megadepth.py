@@ -167,6 +167,7 @@ class MegaDepthPairsDatasetFeatures:
         overlap: Optional[Tuple[float, float]] = None,
         seed: int = 0,
         cache_images: int = 64,
+        device_descriptors: bool = False,
     ):
         self.index = MegaDepthPairsIndex(root_path, scenes_list, max_pairs_per_scene, overlap)
         self.root_path = Path(root_path)
@@ -187,6 +188,13 @@ class MegaDepthPairsDatasetFeatures:
         import threading
 
         self._cache_lock = threading.Lock()
+        # device_descriptors: samples carry the UNFILTERED per-image
+        # descriptor block (shared cache reference, zero-copy) plus the
+        # surviving rows' original indices instead of filtered descriptor
+        # copies — the contract of the device-resident descriptor cache
+        # (data/device_cache.py), which keeps descriptor blocks in HBM and
+        # reduces per-batch H2D to row indices.
+        self.device_descriptors = bool(device_descriptors)
 
     def __len__(self) -> int:
         return len(self.index)
@@ -256,12 +264,17 @@ class MegaDepthPairsDatasetFeatures:
         return entry
 
     def _load_side(self, scene: str, img_name: str, K: np.ndarray):
+        """Returns (lafs, scores, descriptors, depth, K, orig_idx) — in
+        device_descriptors mode ``descriptors`` is the UNFILTERED pre-crop
+        block (shared, do not mutate) and ``orig_idx`` maps each surviving
+        keypoint row to its row in that block."""
         lafs, scores, descriptors, depth, image_size, orig_size = self._load_image_raw(
             scene, img_name
         )
         K = np.diag(
             [image_size[0] / orig_size[0], image_size[1] / orig_size[1], 1.0]
         ).astype(np.float32) @ K
+        orig_idx = np.arange(lafs.shape[0], dtype=np.int32)
 
         tw, th = self.target_size
         if tw < image_size[0]:  # crop width
@@ -274,7 +287,9 @@ class MegaDepthPairsDatasetFeatures:
             keep = (lafs[:, 0, 2] >= start) & (lafs[:, 0, 2] < start + tw)
             K = K.copy(); K[0, 2] -= start
             lafs = lafs[keep]; lafs[:, 0, 2] -= start  # fresh array from the keep-filter
-            scores, descriptors = scores[keep], descriptors[keep]
+            scores, orig_idx = scores[keep], orig_idx[keep]
+            if not self.device_descriptors:
+                descriptors = descriptors[keep]
         elif th < image_size[1]:  # crop height
             start = (
                 int(self.rng.integers(0, image_size[1] - th))
@@ -285,14 +300,16 @@ class MegaDepthPairsDatasetFeatures:
             keep = (lafs[:, 1, 2] >= start) & (lafs[:, 1, 2] < start + th)
             K = K.copy(); K[1, 2] -= start
             lafs = lafs[keep]; lafs[:, 1, 2] -= start
-            scores, descriptors = scores[keep], descriptors[keep]
-        return lafs, scores, descriptors, depth, K
+            scores, orig_idx = scores[keep], orig_idx[keep]
+            if not self.device_descriptors:
+                descriptors = descriptors[keep]
+        return lafs, scores, descriptors, depth, K, orig_idx
 
     def __getitem__(self, idx: int) -> Dict:
         rec = self.index[idx]
-        lafs0, scores0, desc0, depth0, K0 = self._load_side(rec.scene, rec.img0, rec.K0)
-        lafs1, scores1, desc1, depth1, K1 = self._load_side(rec.scene, rec.img1, rec.K1)
-        return {
+        lafs0, scores0, desc0, depth0, K0, oi0 = self._load_side(rec.scene, rec.img0, rec.K0)
+        lafs1, scores1, desc1, depth1, K1, oi1 = self._load_side(rec.scene, rec.img1, rec.K1)
+        sample = {
             "lafs0": lafs0, "scores0": scores0, "descriptors0": desc0,
             "lafs1": lafs1, "scores1": scores1, "descriptors1": desc1,
             "transformation": {
@@ -303,3 +320,9 @@ class MegaDepthPairsDatasetFeatures:
             "image0_size": self.target_size,
             "image1_size": self.target_size,
         }
+        if self.device_descriptors:
+            sample["desc_key0"] = (rec.scene, rec.img0)
+            sample["desc_key1"] = (rec.scene, rec.img1)
+            sample["desc_orig_idx0"] = oi0
+            sample["desc_orig_idx1"] = oi1
+        return sample

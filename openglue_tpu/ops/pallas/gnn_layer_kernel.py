@@ -273,9 +273,12 @@ def _forward_pallas(
         # 1024 measures +2.7% end-to-end at the headline B=16 (1,315 vs
         # 1,281 pairs/s interleaved) but exceeds the 16 MB scoped-VMEM limit
         # at B=32 (OOM by 664 KB, bench/layer_block_sweep.py) — Mosaic's
-        # allocator scopes more aggressively on longer grids. Adaptive:
-        # large blocks only at small batch.
-        block_q = 1024 if batch <= 16 else 512
+        # allocator scopes more aggressively on longer grids. B=1 ALSO OOMs
+        # at N=1024 block 1024 (by 927 KB — measured in the round-5 B=1
+        # latency run; the single-element grid changes the surrounding
+        # fusion/liveness). Adaptive: large blocks only at small multi-pair
+        # batch.
+        block_q = 1024 if 2 <= batch <= 16 else 512
     # large-key-set clamp: the per-step [BQ, M] f32 score block must fit
     # VMEM next to the K/V scratch. 512 measures +2% over 256 at N=2048 B=4
     # (strict interleaved A/B: 12.56/12.62 vs 12.85 ms/batch); 1024 OOMs.

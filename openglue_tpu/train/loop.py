@@ -254,7 +254,15 @@ def precompile_buckets(
         dummy = resize_keypoint_axis(example_batch, n)
         if shard_fn is not None:
             dummy = shard_fn(dummy)
-        step_fn(state, dummy)  # outputs discarded; state is not advanced
+        try:
+            step_fn(state, dummy)  # outputs discarded; state is not advanced
+        except jax.errors.JaxRuntimeError as exc:
+            # transient remote-compile RPC drops happen on tunneled TPU
+            # backends; one retry before giving up (persistent failures
+            # re-raise with the original cause)
+            if _is_main_host():
+                print(f"precompile N={n} failed ({exc}); retrying once", flush=True)
+            step_fn(state, dummy)
         if _is_main_host():
             print(
                 f"precompiled bucket N={n} in {time.time() - t0:.1f}s",

@@ -125,6 +125,55 @@ class TestTrainCachedCLI:
         assert (exp_dirs[0] / "features_config.yaml").exists()
         assert (exp_dirs[0] / "checkpoints").exists()
 
+    def test_device_descriptor_cache_smoke(self, tmp_path):
+        """data.device_descriptor_cache: descriptors live in a device-side
+        LRU; batches carry row indices; the CLI trains and validates through
+        the gather path end to end (grouped loader + precompile included)."""
+        make_megadepth_fixture(tmp_path, pairs_per_scene=10)
+        feat_dir = tmp_path / "features_cache"
+        write_yaml(
+            feat_dir / "config.yaml",
+            {"name": "OPENCV_SIFT", "descriptor_dim": 32, "parameters": {}},
+        )
+        (tmp_path / "train_list.txt").write_text("scene_a\nscene_b\n")
+        (tmp_path / "val_list.txt").write_text("scene_a\n")
+        config = {
+            "data": {
+                "root_path": str(tmp_path),
+                "train_list_path": "train_list.txt",
+                "val_list_path": "val_list.txt",
+                "features_dir": "features_cache",
+                "max_keypoints": 64,
+                "batch_size": 8,
+                "dataloader_workers": 2,
+                "target_size": list(TARGET_CACHED),
+                "val_max_pairs_per_scene": 2,
+                "train_pairs_overlap": None,
+                "device_descriptor_cache": 16,
+                "device_cache_cap": 64,
+                "buckets": [16, 64],
+                "bucket_grouping": True,
+            },
+            "logging": {"root_path": str(tmp_path / "logs"), "name": "t", "train_logs_steps": 1},
+            "train": {
+                "epochs": 1, "steps_per_epoch": 2, "grad_clip": 10.0,
+                "gt_positive_threshold": 3, "gt_negative_threshold": 5,
+                "margin": None, "nll_weight": 1.0, "metric_weight": 0.0,
+                "lr": 1.0e-3, "scheduler_gamma": 0.999994,
+            },
+            "evaluation": {"epipolar_dist_threshold": 5.0e-4, "camera_auc_thresholds": [5, 10, 20],
+                           "camera_auc_ransac_inliers_threshold": 1.0},
+            "inference": {"match_threshold": 0.2},
+            "superglue": {**SMALL_SUPERGLUE, "dtype": "bfloat16"},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        write_yaml(cfg_path, config)
+
+        from openglue_tpu.cli import train_cached
+
+        state = train_cached.main(["--config", str(cfg_path)])
+        assert int(state.step) == 2
+
     def test_bf16_transfer_cast(self, tmp_path):
         """superglue.dtype: bfloat16 turns on the bf16 descriptor transfer
         (data/collate.py:cast_for_transfer) — the CLI trains through it and

@@ -575,3 +575,72 @@ class TestStructuredFixture:
         img0 = np.asarray(sample["image0"])
         assert img0.shape[-2:] == (120, 160) or img0.shape[:2] == (120, 160)
         assert img0.std() > 0.05, "fixture images must be textured"
+
+
+class TestDeviceDescriptorCache:
+    """Device-resident descriptor cache (data/device_cache.py): per-image
+    descriptor blocks live in device memory; batches carry row indices, and
+    the gathered descriptors must match the host collate exactly (modulo the
+    bf16 storage cast)."""
+
+    def _fixture_ds(self, tmp_path, device_descriptors):
+        make_megadepth_fixture(tmp_path)
+        return MegaDepthPairsDatasetFeatures(
+            tmp_path, "features_cache", ["scene_a", "scene_b"],
+            target_size=TARGET_CACHED, device_descriptors=device_descriptors,
+        )
+
+    def test_gather_matches_host_collate(self, tmp_path):
+        import jax.numpy as jnp
+
+        from openglue_tpu.data.collate import stack_keypoints_batch_device
+        from openglue_tpu.data.device_cache import DeviceDescriptorCache
+
+        ds_host = self._fixture_ds(tmp_path, device_descriptors=False)
+        ds_dev = self._fixture_ds(tmp_path, device_descriptors=True)
+        samples_h = [ds_host[i] for i in range(3)]
+        samples_d = [ds_dev[i] for i in range(3)]
+        # deterministic selection (random=False -> top-score) so both
+        # collates pick identical rows
+        ref = stack_keypoints_batch(samples_h, target_num_keypoints=64, random=False)
+        item = stack_keypoints_batch_device(samples_d, target_num_keypoints=64, random=False)
+        assert item.batch.side0.descriptors.shape == (3, 64, 0)
+
+        cache = DeviceDescriptorCache(slots=8, cap=64, dim=32)
+        cache.ensure([*item.keys0, *item.keys1], item.blocks)
+        d0 = cache.gather(item.keys0, item.index0, item.batch.side0.mask)
+        np.testing.assert_allclose(
+            np.asarray(d0, np.float32),
+            np.asarray(ref.side0.descriptors, np.float32),
+            atol=0.01,  # bf16 storage rounding
+        )
+        # masked rows exactly zero
+        assert (np.asarray(d0, np.float32)[~np.asarray(ref.side0.mask)] == 0).all()
+
+    def test_lru_eviction_and_reinstall(self):
+        from openglue_tpu.data.device_cache import DeviceDescriptorCache
+
+        rng = np.random.default_rng(0)
+        blocks = {("s", f"i{k}"): rng.normal(size=(10, 8)).astype(np.float32) for k in range(4)}
+        cache = DeviceDescriptorCache(slots=2, cap=16, dim=8)
+        keys = list(blocks)
+        cache.ensure(keys[:2], blocks)          # fill both slots
+        assert cache.misses == 2
+        cache.ensure([keys[0]], blocks)          # hit refreshes LRU
+        assert cache.hits == 1
+        cache.ensure([keys[2]], blocks)          # evicts keys[1] (LRU)
+        assert keys[1] not in cache.slot_of and keys[0] in cache.slot_of
+        cache.ensure([keys[1]], blocks)          # reinstall -> miss
+        assert cache.misses == 4
+        # gathered values match after the churn
+        idx = np.arange(10, dtype=np.int32)[None]
+        mask = np.ones((1, 10), bool)
+        got = np.asarray(cache.gather([keys[1]], idx, mask), np.float32)
+        np.testing.assert_allclose(got[0], blocks[keys[1]].astype(np.float32), atol=0.01)
+
+    def test_cap_overflow_raises(self):
+        from openglue_tpu.data.device_cache import DeviceDescriptorCache
+
+        cache = DeviceDescriptorCache(slots=2, cap=4, dim=8)
+        with pytest.raises(ValueError, match="cap"):
+            cache.ensure([("s", "big")], {("s", "big"): np.zeros((9, 8), np.float32)})
