@@ -87,8 +87,12 @@ def main():
 
     built = {}
     for n, q, pallas in cases:
-        fn, batch = build(n, q, pallas)
-        float(jnp.sum(fn(batch)))  # compile now
+        try:
+            fn, batch = build(n, q, pallas)
+            float(jnp.sum(fn(batch)))  # compile now
+        except Exception as exc:  # one failing variant must not kill the matrix
+            print(f"SKIP N={n} {q or 'bf16'}{'' if pallas else ' xla'}: {exc}", flush=True)
+            continue
         built[(n, q, pallas)] = (fn, batch)
 
     results = {}

@@ -113,13 +113,18 @@ def main(argv=None):
           f"{dt_count_warm * 1e6:.1f} us cached per pair")
 
     # ---- loader probe: assembled pipeline, no device --------------------
+    from openglue_tpu.data.collate import DeviceDescBatch
+
+    def light(b):
+        return b.batch if isinstance(b, DeviceDescBatch) else b
+
     train_loader, _ = build_dataloaders(config, laf_converter)
     it = iter(train_loader)
     next(it)  # spin up workers
     t0 = time.perf_counter()
     shapes = []
     for _ in range(args.batches):
-        b = next(it)
+        b = light(next(it))
         shapes.append(b.side0.keypoints.shape[1])
     dt_loader = (time.perf_counter() - t0) / args.batches
     feed_pairs = local_batch / dt_loader
@@ -150,8 +155,24 @@ def main(argv=None):
     train_loader, _ = build_dataloaders(config, laf_converter)
     train_iter = iter(train_loader)
     first = next(train_iter)
+    mesh, shard_batch, shard_train_step, _ = common.build_mesh_and_sharding()
+    device_cache_slots = int(config.get("data.device_descriptor_cache", 0) or 0)
+    if device_cache_slots > 0:
+        from openglue_tpu.data.device_cache import DeviceDescriptorCache
+
+        desc_cache = DeviceDescriptorCache(
+            device_cache_slots,
+            cap=int(config.get("data.device_cache_cap", 2048)),
+            dim=int(features_config["descriptor_dim"]),
+            mesh=mesh,
+        )
+        shard_fn = desc_cache.shard_fn(mesh)
+    else:
+        desc_cache = None
+        shard_fn = lambda b: shard_batch(b, mesh)
+    first_for_init = shard_fn(first) if desc_cache is not None else first
     init = jax.jit(lambda rng, b: model.init(rng, **superglue_inputs(b)))
-    variables = init(jax.random.key(0), first)
+    variables = init(jax.random.key(0), first_for_init)
     jax.block_until_ready(variables)
     state = create_train_state(
         model.apply, variables,
@@ -159,9 +180,7 @@ def main(argv=None):
         gamma=float(config.get("train.scheduler_gamma", 0.999994)),
         gradient_clip=float(config.get("train.grad_clip", 10.0)),
     )
-    mesh, shard_batch, shard_train_step, _ = common.build_mesh_and_sharding()
     train_step = shard_train_step(make_train_step(common.loss_config_from(config)), mesh)
-    shard_fn = lambda b: shard_batch(b, mesh)
 
     buckets = [min(int(b), num_kpts) for b in (data.get("buckets") or [num_kpts])]
     if not args.no_precompile:
@@ -183,6 +202,7 @@ def main(argv=None):
     float(metrics["total_loss"])  # sync
     t0 = time.perf_counter()
     host_wait = disp_wait = 0.0
+    step_walls = []
     win_next, win_disp, win_t0 = [], [], time.perf_counter()
     for k in range(args.steps):
         tb = time.perf_counter()
@@ -192,6 +212,7 @@ def main(argv=None):
         td = time.perf_counter()
         host_wait += tn - tb
         disp_wait += td - tn
+        step_walls.append(td - tb)
         win_next.append(tn - tb)
         win_disp.append(td - tn)
         if (k + 1) % 50 == 0:
@@ -207,15 +228,30 @@ def main(argv=None):
                 flush=True,
             )
             win_next, win_disp, win_t0 = [], [], time.perf_counter()
+    t_issue = time.perf_counter() - t0
     final_loss = float(metrics["total_loss"])  # sync
-    dt = (time.perf_counter() - t0) / args.steps
+    t_total = time.perf_counter() - t0
+    dt = t_total / args.steps
+    import numpy as _np
+
+    walls = _np.asarray(step_walls)
     print(
         f"full: {dt * 1e3:.1f} ms/step steady state -> "
         f"{local_batch / dt:.1f} effective pairs/s "
-        f"(host in next(): {host_wait / args.steps * 1e3:.1f} ms/step, "
+        f"(host issue {t_issue:.1f}s + device drain {t_total - t_issue:.1f}s; "
+        f"host-side per-step p50/p90/max "
+        f"{_np.percentile(walls, 50) * 1e3:.1f}/"
+        f"{_np.percentile(walls, 90) * 1e3:.1f}/{walls.max() * 1e3:.0f} ms; "
+        f"host in next(): {host_wait / args.steps * 1e3:.1f} ms/step, "
         f"in dispatch: {disp_wait / args.steps * 1e3:.1f} ms/step; "
         f"loss {final_loss:.3f})"
     )
+    if desc_cache is not None:
+        print(
+            f"device descriptor cache: {desc_cache.hits} hits / "
+            f"{desc_cache.misses} misses",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -283,7 +283,10 @@ def _forward_pallas(
     # VMEM next to the K/V scratch. 512 measures +2% over 256 at N=2048 B=4
     # (strict interleaved A/B: 12.56/12.62 vs 12.85 ms/batch); 1024 OOMs.
     if m > 1024 and attention_kind == "softmax":
-        block_q = min(block_q, 512)
+        # B=1's single-element grid scopes even tighter (N=2048 block 512
+        # OOMs by 167 KB — round-5 B=1 latency run); B=1 is latency-bound,
+        # not block-size-bound, so take 256 there
+        block_q = min(block_q, 256 if batch == 1 else 512)
     block_q = min(block_q, _round_up(n, 128))
     n_pad = _round_up(n, block_q)
     m_pad = _round_up(m, 128)
