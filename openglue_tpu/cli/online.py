@@ -99,11 +99,16 @@ def run_online_training(
     log_dir = common.prepare_logging_directory(config, snapshot_features)
 
     first = next(iter(train_loader))
-    variables = model.init(
+    # jitted init: eager init dispatches PER-OP over a remote-TPU tunnel —
+    # the SIFT scale space alone is dozens of 960x720 convs, each paying its
+    # own compile+dispatch (observed: the online CLI stuck >20 min inside
+    # eager gaussian_blur; train_cached already jits its init)
+    variables = jax.jit(model.init)(
         jax.random.key(0),
         jax.numpy.asarray(first["image0"]),
         jax.numpy.asarray(first["image1"]),
     )
+    jax.block_until_ready(variables)
     weights = (features_config or config.get("features", {})).get("weights")
     bn = "Bn" in str((features_config or config.get("features", {})).get("name", ""))
     variables = load_extractor_weights_into(variables, weights, bn)

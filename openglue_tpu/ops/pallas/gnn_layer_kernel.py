@@ -205,6 +205,16 @@ def _layer_kernel(
 
     head_outs = []
     if attention_kind == "softmax":
+        import os
+
+        # OPENGLUE_BF16_SOFTMAX (trace-time): run the exp epilogue on bf16
+        # operands — the exp output feeds the P.V dot in bf16 ANYWAY (same
+        # rounding as today); the only numeric change is denom summed from
+        # bf16 p (<=0.4% relative on a positive sum, f32 accumulate). The
+        # candidate win is packed-lane VPU exp + one fewer [BQ, M] cast
+        # pass (VERDICT round-4 #4: the f32 VPU softmax epilogue is ~half
+        # the attention time at N=2048).
+        bf16_softmax = bool(os.environ.get("OPENGLUE_BF16_SOFTMAX"))
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
             qh = q[:, sl]
@@ -214,10 +224,15 @@ def _layer_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale + mask_add  # [BQ, M]
             m = jnp.max(logits, axis=1, keepdims=True)
-            p = jnp.exp(logits - m)
-            denom = jnp.sum(p, axis=1, keepdims=True)
-            # normalize AFTER the aggregation: divides [BQ, dh], not [BQ, M]
-            o = _dot(p.astype(compute_dtype), v_scratch[:, sl])  # [BQ, dh] f32
+            if bf16_softmax:
+                p = jnp.exp((logits - m).astype(jnp.bfloat16))
+                denom = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+                o = _dot(p.astype(compute_dtype), v_scratch[:, sl])
+            else:
+                p = jnp.exp(logits - m)
+                denom = jnp.sum(p, axis=1, keepdims=True)
+                # normalize AFTER the aggregation: divides [BQ, dh], not [BQ, M]
+                o = _dot(p.astype(compute_dtype), v_scratch[:, sl])  # [BQ, dh] f32
             head_outs.append(o / denom)
     else:
         q32 = q.astype(jnp.float32)
