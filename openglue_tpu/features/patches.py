@@ -17,8 +17,16 @@ import jax.numpy as jnp
 
 def bilinear_sample_image(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """image: [H, W]; coords: [..., 2] (x, y) pixel coords -> [...] values.
-    Out-of-bounds taps clamp to the border."""
+    Out-of-bounds taps clamp to the border.
+
+    Taps go through ONE flat 1-D take per corner (row-major linearized
+    indices) instead of 2-D advanced indexing: same values, and the 1-D
+    gather measures 16% faster on TPU (294 vs 349 ms at 27M taps, round-5
+    probe). Gathers are the op class TPUs are weakest at (~11 ns/tap
+    regardless of layout; a 2x2-window lax.gather variant crashed the TPU
+    worker and is not used)."""
     h, w = image.shape
+    flat = image.reshape(-1)
     x = coords[..., 0]
     y = coords[..., 1]
     x0 = jnp.floor(x)
@@ -29,7 +37,7 @@ def bilinear_sample_image(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
     def tap(xi, yi):
         xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
         yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-        return image[yc, xc]
+        return jnp.take(flat, yc * w + xc)
 
     return (
         tap(x0, y0) * (1 - wx) * (1 - wy)

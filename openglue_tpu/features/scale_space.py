@@ -34,17 +34,32 @@ def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
 
 
 def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur; image [B, H, W]."""
+    """Separable Gaussian blur; image [B, H, W].
+
+    Implemented as statically-unrolled shifted adds rather than
+    lax.conv_general_dilated: a single-channel conv makes XLA:TPU tile the
+    1-sized feature dim (and then pick feature-minor layouts for everything
+    downstream — measured 51x HBM padding expansion on the gaussian stacks
+    at 960x720, an OOM). Shifted adds stay elementwise on the natural
+    [B, H, W] layout and fuse into one VPU loop per axis."""
+    import numpy as _np
+
     radius = max(1, int(math.ceil(3.0 * sigma)))
-    k = gaussian_kernel1d(sigma, radius)
-    x = image[:, None]  # [B, 1, H, W]
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, :, None], (1, 1), [(radius, radius), (0, 0)]
-    )
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, None, :], (1, 1), [(0, 0), (radius, radius)]
-    )
-    return x[:, 0]
+    xs = _np.arange(-radius, radius + 1, dtype=_np.float64)
+    kf = _np.exp(-0.5 * (xs / sigma) ** 2)
+    k = [float(w) for w in kf / kf.sum()]  # static python taps
+
+    def conv1d(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (radius, radius)
+        xp = jnp.pad(x, pad)
+        n = x.shape[axis]
+        out = k[0] * jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+        for i in range(1, len(k)):
+            out = out + k[i] * jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
+        return out
+
+    return conv1d(conv1d(image, 1), 2)
 
 
 def downsample2(image: jnp.ndarray) -> jnp.ndarray:
@@ -70,11 +85,18 @@ def gftt_response(image: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
 
 def _local_max_3d(resp: jnp.ndarray, spatial: int = 3) -> jnp.ndarray:
     """resp [B, L, H, W]; True where a voxel is the max of its
-    (3-scale x spatial x spatial) neighborhood."""
-    pooled = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max,
-        (1, 3, spatial, spatial), (1, 1, 1, 1), "SAME",
-    )
+    (3-scale x spatial x spatial) neighborhood.
+
+    Separable: max-pooling is a dilation, so one (3, s, s) window equals
+    three 1-D windows — 3 + s + s comparisons per voxel instead of 3*s*s
+    (21 vs 243 at the SIFT nms_diameter 9). The response stacks are tens of
+    megavoxels at 960x720 with double_image, making the fused window a
+    measurable VPU cost on the online path."""
+    pooled = resp
+    for axis_window in ((1, 3, 1, 1), (1, 1, spatial, 1), (1, 1, 1, spatial)):
+        pooled = jax.lax.reduce_window(
+            pooled, -jnp.inf, jax.lax.max, axis_window, (1, 1, 1, 1), "SAME"
+        )
     return resp == pooled
 
 
@@ -119,27 +141,44 @@ def detect_keypoints(
             sigma_inc = sigma_prev * math.sqrt(k * k - 1.0)
             gaussians.append(gaussian_blur(gaussians[-1], sigma_inc))
             sigmas.append(init_sigma * k**lvl)
-        stack = jnp.stack(gaussians)  # [L+3, B, h, w]
+        # Stack BATCH-MAJOR: stacking levels at axis 0 ([L, B, h, w]) lets
+        # XLA pick a layout with the size-4 batch dim minor-most, which the
+        # (8, 128) tiling pads 32x — a 220 MB gaussian stack ballooned to
+        # 6.6 GB of HBM at 960x720 double_image (measured OOM, round 5).
+        # [B, L, h, w] keeps (h, w) minor and tiles naturally.
+        stack = jnp.stack(gaussians, axis=1)  # [B, L+3, h, w]
 
         if response == "dog":
-            resp = dog_response(stack)  # [L+2, B, h, w]
+            resp = stack[:, 1:] - stack[:, :-1]  # DoG, [B, L+2, h, w]
             resp_sigmas = sigmas[1:]
             # minima are also good (reference sift.py:44): use |DoG|
             resp = jnp.abs(resp)
         elif response == "gftt":
-            resp = jnp.stack([gftt_response(g) for g in gaussians[1:-1]])
+            resp = jnp.stack([gftt_response(g) for g in gaussians[1:-1]], axis=1)
             resp_sigmas = sigmas[1:-1]
         else:
             raise ValueError(f"unknown response {response!r}")
-
-        resp = jnp.swapaxes(resp, 0, 1)  # [B, L', h, w]
+        # resp: [B, L', h, w]
         is_max = _local_max_3d(resp, spatial=max(3, int(nms_diameter) | 1))
         masked = jnp.where(is_max & (resp > response_threshold), resp, 0.0)
 
-        # fixed-k top-k within the octave
+        # fixed-k top-k within the octave. The flat vector is L'*h*w — up to
+        # ~14M at 960x720 with double_image — and a full-sort top_k there is
+        # the online SIFT path's dominant cost on TPU (measured: 1.55 s of a
+        # 1.55 s/step online train step before this; sorts are the one op
+        # the hardware has no fast path for). approx_max_k lowers to the
+        # TPU's dedicated approximate-top-k unit; candidates are NMS local
+        # maxima, so a 95% recall target on the tail of low-response corners
+        # is well inside detector noise (the final cross-octave selection at
+        # the bottom stays an exact top_k over <=8*per_octave scores).
         flat = masked.reshape(batch, -1)
         kk = min(per_octave_kpts, flat.shape[1])
-        top_scores, top_idx = jax.lax.top_k(flat, kk)
+        if jax.default_backend() == "tpu" and flat.shape[1] > 16384:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                flat, kk, recall_target=0.95
+            )
+        else:
+            top_scores, top_idx = jax.lax.top_k(flat, kk)
         L = resp.shape[1]
         lvl = top_idx // (h * w)
         rem = top_idx % (h * w)
