@@ -863,6 +863,12 @@ def _message_backward(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     compute_dtype = jnp.dtype(compute_dtype or x_q.dtype)
+    if m > 1024:
+        # the backward holds P, dP, and the dK/dV accumulators live next to
+        # the K/V scratch; at M=2048 the forward's 256-row block overruns the
+        # 16 MB scoped VMEM by 920 KB (measured round-5 compile OOM) — halve
+        # the backward block only
+        block_q = min(block_q or 128, 128)
     block_q, n_pad, m_pad = _message_shapes(n, m, block_q)
 
     if n_pad != n:

@@ -1128,6 +1128,31 @@ class TestFusedMessageKernel:
                 np.asarray(a), np.asarray(b), rtol=2e-6, atol=3e-4
             )
 
+    def test_fused_backward_large_key_set(self):
+        """M > 1024 crosses the backward's VMEM clamp (block 128): at M=2048
+        block 256 overran the 16 MB scoped VMEM by 920 KB on TPU (round-5
+        online pretraining fault). Grad parity across the boundary."""
+        from openglue_tpu.ops.pallas import gnn_layer_kernel as glk
+
+        dim, heads = 32, 2
+        n, m = 64, 1040  # just past the clamp boundary
+        x_q, x_kv = rand(11, 1, n, dim), rand(12, 1, m, dim)
+        mask = jnp.arange(m)[None, :] < jnp.asarray([1000])[:, None]
+        w = self._weights(dim, seed=4)
+
+        def loss_kernel(a, b, c):
+            return jnp.sum(glk.fused_attention_message(a, b, mask, c, heads))
+
+        def loss_ref(a, b, c):
+            return jnp.sum(glk.xla_reference_message(a, b, mask, c, heads))
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x_q, x_kv, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, x_kv, w)
+        for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=3e-4
+            )
+
     @pytest.mark.parametrize("route", ["message", "train_half"])
     def test_module_train_step_parity(self, route, monkeypatch):
         """AttentionalPropagation with train=True routes through the fused
