@@ -22,9 +22,12 @@ and are zeroed, matching the zero-padded host collate exactly.
 Reference counterpart: none — the torch reference re-reads and re-ships
 descriptors every batch (data/megadepth_datamodule.py:104-168).
 
-Single-HOST meshes (cache replicated over the mesh, gathers emitted
-batch-sharded); multi-host DP composes with per-host caches in principle but
-is not wired.
+Single-host meshes replicate the cache over the mesh and emit
+batch-sharded gathers. Multi-host DP runs a PER-HOST cache: the
+host-invariant grouped loader hands each host only its local slice, the
+host gathers locally, and shard_fn assembles the global batch-sharded
+array (make_array_from_single_device_arrays) — two-process CPU test in
+tests/test_multiprocess.py.
 """
 
 from __future__ import annotations
@@ -58,13 +61,15 @@ class DeviceDescriptorCache:
         self.dtype = dtype
         self.mesh = mesh
         repl = data = None
-        if mesh is not None:
+        if mesh is not None and jax.process_count() == 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from openglue_tpu.parallel.mesh import batch_pspec
 
             # cache replicated over the (single-host) mesh; gathers come out
-            # batch-sharded to match the train step's in_shardings
+            # batch-sharded to match the train step's in_shardings. In
+            # MULTI-HOST mode the cache stays a per-host local array — each
+            # host gathers its slice and shard_fn assembles the global batch
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, batch_pspec(mesh))
         self.cache = jnp.zeros((self.slots, self.cap, self.dim), dtype)
@@ -146,24 +151,49 @@ class DeviceDescriptorCache:
         fn = self._gather if sharded else self._gather_plain
         return fn(self.cache, slots, np.asarray(idx), np.asarray(mask))
 
+    def _assemble_global(self, local, mesh):
+        """Multi-host: turn this host's gathered [B_local, N, D] (device
+        array on local devices) into the GLOBAL batch-sharded jax.Array.
+        Every host calls this with its own slice; the global batch is the
+        concatenation in data-axis device order (the same contract
+        make_array_from_process_local_data applies to the light fields)."""
+        import jax
+        from jax.sharding import NamedSharding
+
+        from openglue_tpu.parallel.mesh import batch_pspec
+
+        sharding = NamedSharding(mesh, batch_pspec(mesh))
+        b_local = local.shape[0]
+        gshape = (b_local * jax.process_count(), *local.shape[1:])
+        imap = sharding.addressable_devices_indices_map(gshape)
+        # this host's rows occupy one contiguous global range; derive its
+        # start from the smallest addressable row index
+        starts = [idx[0].start or 0 for idx in imap.values()]
+        host_start = min(starts)
+        shards = [
+            jax.device_put(local[(idx[0].start or 0) - host_start:(idx[0].stop or gshape[0]) - host_start], dev)
+            for dev, idx in imap.items()
+        ]
+        return jax.make_array_from_single_device_arrays(gshape, sharding, shards)
+
     def shard_fn(self, mesh, cast_light_bf16: bool = False):
         """Returns a shard_fn for the train/eval loop: consumes the
         DeviceDescBatch host object (data/collate.py), installs missing
         blocks, gathers device descriptors, and places the light fields on
         the mesh — a drop-in for parallel.mesh.shard_batch in the
-        device-cache mode of cli/train_cached."""
+        device-cache mode of cli/train_cached.
+
+        Multi-host: each host runs an independent cache over ITS slice's
+        images (the host-invariant grouped loader already hands every host
+        only its local_batch_slice); the local gather output is assembled
+        into the global batch-sharded array with
+        make_array_from_single_device_arrays, mirroring what
+        make_array_from_process_local_data does for the light numpy fields."""
         import jax
 
-        from openglue_tpu.parallel.mesh import shard_batch
+        from openglue_tpu.parallel.mesh import DATA_AXIS, shard_batch
 
-        if jax.process_count() != 1:
-            raise NotImplementedError(
-                "device descriptor cache currently supports single-host "
-                "meshes (per-host caches for multi-host DP are not wired)"
-            )
-
-        from openglue_tpu.parallel.mesh import DATA_AXIS
-
+        multi_host = jax.process_count() > 1
         axis = dict(zip(mesh.axis_names, mesh.devices.shape)).get(DATA_AXIS, 1)
 
         def fn(item):
@@ -175,6 +205,25 @@ class DeviceDescriptorCache:
                 return shard_batch(item, mesh)
             self.ensure([*item.keys0, *item.keys1], item.blocks)
             b = item.batch
+            if multi_host:
+                # local (unsharded) gather on this host, then global assembly
+                d0 = self._assemble_global(
+                    self.gather(item.keys0, item.index0, b.side0.mask, sharded=False),
+                    mesh,
+                )
+                d1 = self._assemble_global(
+                    self.gather(item.keys1, item.index1, b.side1.mask, sharded=False),
+                    mesh,
+                )
+                light = b.replace(
+                    side0=b.side0.replace(descriptors=np.zeros((0,), np.float32)),
+                    side1=b.side1.replace(descriptors=np.zeros((0,), np.float32)),
+                )
+                placed = shard_batch(light, mesh)
+                return placed.replace(
+                    side0=placed.side0.replace(descriptors=d0),
+                    side1=placed.side1.replace(descriptors=d1),
+                )
             # validation tail batches smaller than the data axis cannot be
             # sharded over it — place them unsharded (the plain-jit eval
             # step accepts either; same fallback as loop._shard_eval_batch)

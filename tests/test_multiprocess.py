@@ -281,6 +281,107 @@ _GROUPED_WORKER = textwrap.dedent(
 )
 
 
+_DEVCACHE_WORKER = textwrap.dedent(
+    """
+    import os, sys, itertools
+    from functools import partial
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    pid = int(sys.argv[1]); port = sys.argv[2]; root = sys.argv[3]
+    from openglue_tpu.parallel import distributed as dist
+    ok = dist.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert ok and jax.process_count() == 2
+
+    import numpy as np
+    from openglue_tpu.data import (
+        DataLoader, MegaDepthPairsDatasetFeatures, stack_keypoints_batch,
+    )
+    from openglue_tpu.data.bucketing import BucketGroupedIndexBatches
+    from openglue_tpu.data.collate import stack_keypoints_batch_device
+    from openglue_tpu.data.device_cache import DeviceDescriptorCache
+    from openglue_tpu.models.superglue import SuperGlue, SuperGlueConfig
+    from openglue_tpu.parallel.mesh import (
+        local_batch_slice, make_mesh, shard_train_step,
+    )
+    from openglue_tpu.train import LossConfig, create_train_state, make_train_step
+    from openglue_tpu.train.step import superglue_inputs
+
+    GLOBAL_BATCH, BUCKETS, STEPS = 8, (16, 64), 3
+    mk_ds = lambda dev: MegaDepthPairsDatasetFeatures(
+        root, "features_cache", ["scene_a", "scene_b"],
+        target_size=(480, 240), random_crop=False, device_descriptors=dev,
+    )
+    ds_dev, ds_host = mk_ds(True), mk_ds(False)
+    stream = list(range(len(ds_dev))) * 8
+
+    def groups(sl):
+        return BucketGroupedIndexBatches(
+            iter(stream), ds_dev.keypoint_count, batch_size=GLOBAL_BATCH,
+            buckets=BUCKETS, local_slice=sl,
+        )
+
+    dev_collate = partial(stack_keypoints_batch_device, target_num_keypoints=64, random=False)
+    host_collate = partial(stack_keypoints_batch, target_num_keypoints=64, random=False)
+    loader = DataLoader(
+        ds_dev, batch_size=GLOBAL_BATCH // 2, collate_fn=dev_collate,
+        batch_sampler=iter(groups(local_batch_slice(GLOBAL_BATCH))), num_workers=0,
+    )
+    ref_loader = DataLoader(
+        ds_host, batch_size=GLOBAL_BATCH, collate_fn=host_collate,
+        batch_sampler=iter(groups(None)), num_workers=0,
+    )
+
+    mesh = make_mesh()
+    # f32 cache storage for EXACT parity with the f32 host collate
+    cache = DeviceDescriptorCache(slots=16, cap=64, dim=32, dtype=np.float32, mesh=mesh)
+    shard_fn = cache.shard_fn(mesh)
+
+    cfg = SuperGlueConfig(
+        descriptor_dim=32, pe_hidden_layers_sizes=(16,), side_info_size=1,
+        num_stages=1, num_heads=4, otp_num_iters=5, residual=True,
+    )
+    model = SuperGlue(cfg)
+    local_items = list(itertools.islice(iter(loader), STEPS))
+    ref_batches = list(itertools.islice(iter(ref_loader), STEPS))
+
+    variables = model.init(
+        jax.random.key(1), **superglue_inputs(ref_batches[0], train=False)
+    )
+    raw_step = make_train_step(LossConfig(positive_threshold=3.0, negative_threshold=5.0))
+
+    dev0 = jax.local_devices()[0]
+    ref_state = create_train_state(model.apply, variables, learning_rate=1e-3)
+    ref_step = jax.jit(raw_step)
+    ref_losses = []
+    for b in ref_batches:
+        b = jax.tree_util.tree_map(
+            lambda x: None if x is None else jax.device_put(np.asarray(x), dev0),
+            b, is_leaf=lambda x: x is None,
+        )
+        ref_state, m = ref_step(ref_state, b)
+        ref_losses.append(float(m["total_loss"]))
+
+    dp_state = create_train_state(model.apply, variables, learning_rate=1e-3)
+    dp_step = shard_train_step(raw_step, mesh)
+    dp_losses = []
+    for item in local_items:
+        batch = shard_fn(item)  # per-host cache gather + global assembly
+        assert batch.side0.descriptors.shape[0] == GLOBAL_BATCH
+        dp_state, m = dp_step(dp_state, batch)
+        dp_losses.append(float(m["total_loss"]))
+
+    np.testing.assert_allclose(dp_losses, ref_losses, rtol=1e-5)
+    dist.barrier("devcache-parity-done")
+    print(f"DEVCACHE_WORKER{pid}_OK loss={dp_losses[-1]:.6f} misses={cache.misses}", flush=True)
+    """
+)
+
+
 def _run_two_workers(worker_src, timeout=600, extra_args=()):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -356,4 +457,22 @@ def test_two_process_bucket_grouped_parity(tmp_path):
         losses.append(out.split("loss=")[1].split()[0])
     # identical bucket schedule and identical final loss on both hosts
     assert scheds[0] == scheds[1], scheds
+    assert losses[0] == losses[1], losses
+
+
+@pytest.mark.slow
+def test_two_process_device_cache_parity(tmp_path):
+    """Multi-host device descriptor cache: each host gathers its local slice
+    from its own per-host HBM cache and shard_fn assembles the global
+    batch-sharded descriptors — per-step losses must match the single-host
+    host-collate run exactly (f32 cache storage for bit parity)."""
+    from test_data import make_megadepth_fixture
+
+    make_megadepth_fixture(tmp_path, scenes=("scene_a",), pairs_per_scene=10, num_kpts=50)
+    make_megadepth_fixture(tmp_path, scenes=("scene_b",), pairs_per_scene=10, num_kpts=9)
+    outs = _run_two_workers(_DEVCACHE_WORKER, extra_args=(tmp_path,))
+    losses = []
+    for pid, out in enumerate(outs):
+        assert f"DEVCACHE_WORKER{pid}_OK" in out, out
+        losses.append(out.split("loss=")[1].split()[0])
     assert losses[0] == losses[1], losses
