@@ -116,7 +116,8 @@ class DeviceDescriptorCache:
                 f"image has {n} keypoints but the device cache cap is "
                 f"{self.cap} — raise data.device_cache_cap"
             )
-        np_dtype = np.dtype(ml_dtypes.bfloat16) if self.dtype.__name__ == "bfloat16" else np.dtype(self.dtype)
+        del ml_dtypes  # imported for the side effect: registers bfloat16 with numpy
+        np_dtype = np.dtype(self.dtype)
         out = np.zeros((self.cap, self.dim), np_dtype)
         out[:n] = desc.astype(np_dtype)
         return out

@@ -40,7 +40,8 @@ class DataLoader:
         dataset indices or ``(indices, collate_kwargs)``, with the kwargs
         forwarded to collate_fn (the contract BucketGroupedIndexBatches uses
         to carry ``force_bucket``). Loading AND collation still run in the
-        worker pool."""
+        worker pool. batch_size/drop_last/sampler are ignored in this mode —
+        the batch sampler owns batch formation."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
